@@ -1,0 +1,119 @@
+"""Benchmark: FCN-8 + K-step DAE refinement throughput on real TPU hardware.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+The measured configuration is the driver metric (BASELINE.json:2): CamVid
+360x480 images through the flagship pipeline — FCN-8 forward producing y0 and
+the conditioning features h, then K=5 DAE score-refinement steps fused into a
+single on-chip ``lax.scan``. ``vs_baseline`` is the ratio against the
+north-star target of 1000 images/sec/chip (BASELINE.json:5).
+
+Usage: python bench.py [--batch N] [--steps K] [--iters I] [--height H]
+                       [--width W] [--dtype bf16|f32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--height", type=int, default=360)
+    p.add_argument("--width", type=int, default=480)
+    p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--fc-channels", type=int, default=4096)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from iterative_inference_segm_tpu.models import (
+        init_fcn8,
+        fcn8_apply,
+        init_dae,
+        dae_apply,
+    )
+    from iterative_inference_segm_tpu.models.dae import DAE_H_CHANNELS
+    from iterative_inference_segm_tpu.inference.iterative import refinement_scan
+    from iterative_inference_segm_tpu.data.synthetic import synthetic_batches
+    from iterative_inference_segm_tpu.data.config_datasets import CAMVID
+
+    compute_dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    n_classes = CAMVID.n_classes
+
+    fcn_params = init_fcn8(
+        jax.random.PRNGKey(0), n_classes=n_classes, fc_channels=args.fc_channels
+    )
+    dae_params = init_dae(
+        jax.random.PRNGKey(1),
+        n_classes=n_classes,
+        h_specs={"pool4": DAE_H_CHANNELS["pool4"]},
+    )
+
+    @jax.jit
+    def pipeline(fcn_params, dae_params, x):
+        y0, h = fcn8_apply(
+            fcn_params, x, return_features=("pool4",), compute_dtype=compute_dtype
+        )
+        dae_fn = lambda y: dae_apply(dae_params, y, h, compute_dtype=compute_dtype)
+        y_k = refinement_scan(dae_fn, y0, eps=0.1, num_steps=args.steps, mode="score")
+        pred = jnp.argmax(y_k, axis=-1)
+        # tiny on-device summary: timing syncs on a scalar device->host fetch
+        # (block_until_ready does not actually block through the axon relay)
+        return jnp.sum(pred, dtype=jnp.int32)
+
+    (images, _), = synthetic_batches(
+        cfg=CAMVID,
+        batch_size=args.batch,
+        num_batches=1,
+        height=args.height,
+        width=args.width,
+        seed=0,
+    )
+    x = jnp.asarray(images)
+
+    # compile + warmup (device_get forces real completion through the relay)
+    for _ in range(max(args.warmup, 1)):
+        jax.device_get(pipeline(fcn_params, dae_params, x))
+
+    # Time a chained block of iters executions and sync once: per-dispatch
+    # relay latency is large and noisy, so amortize over the block and take
+    # the best of several repetitions.
+    def timed_block() -> float:
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(args.iters):
+            s = pipeline(fcn_params, dae_params, x)
+            acc = s if acc is None else acc + s
+        jax.device_get(acc)
+        return (time.perf_counter() - t0) / args.iters
+
+    best = min(timed_block() for _ in range(3))
+    imgs_per_sec = args.batch / best
+    target = 1000.0
+    print(
+        json.dumps(
+            {
+                "metric": f"images/sec/chip (FCN-8 + {args.steps}-step DAE refine, "
+                f"{args.height}x{args.width}, {args.dtype}, batch={args.batch})",
+                "value": round(imgs_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(imgs_per_sec / target, 4),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,8 @@
+"""Iterative-inference engine: K score/energy gradient steps in one lax.scan."""
+
+from iterative_inference_segm_tpu.inference.iterative import (
+    refinement_scan,
+    make_refiner,
+    refine_with_trajectory,
+)
+from iterative_inference_segm_tpu.inference.search import grid_search_eps_k

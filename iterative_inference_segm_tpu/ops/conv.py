@@ -1,0 +1,259 @@
+"""Convolution / pooling / upsampling primitives, NHWC, TPU-first.
+
+Design notes
+------------
+* Layout is **NHWC** throughout (TPU-native; XLA tiles the C=lane dimension
+  onto the 128-wide vector lanes and the MXU). The reference is NCHW
+  (Theano), but layout is an implementation detail, not an API contract.
+* ``conv2d`` wraps ``lax.conv_general_dilated`` — on TPU, XLA already lowers
+  dense NHWC convs onto the MXU near roofline; a hand-written Pallas conv is
+  only warranted where fusion opportunities exist (see ops/pallas/).
+* ``conv_transpose2d`` is implemented as an **input-dilated convolution**
+  (lhs_dilation), the TPU-efficient formulation — this is mathematically the
+  transpose of a strided conv and exactly what the reference's Lasagne
+  ``Deconv2DLayer`` computes. ``[ref: models/fcn8.py]`` uses k=4,s=2 and
+  k=16,s=8 deconvs with bilinear initialization.
+* ``max_pool`` supports ceil-mode window counting (Theano's
+  ``ignore_border=False``), which the reference relies on so that e.g.
+  360/2^4 -> 23 rather than 22; skip fusion shapes depend on it.
+* ``crop_to`` reproduces the Caffe/Lasagne center-crop used to align skip
+  connections (``[ref: layers/mylayers.py]`` CropLayer).
+
+All functions are pure and jittable; f32 accumulation is forced via
+``preferred_element_type`` so bf16 inputs stay MXU-friendly without losing
+accumulator precision.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# NHWC activations, HWIO weights.
+_DIMSPEC = ("NHWC", "HWIO", "NHWC")
+
+
+def _precision_for(dtype):
+    """f32 inputs contract at HIGHEST precision (TPU 'default' would silently
+    round operands to bf16 — unacceptable on the parity-critical refinement
+    path); bf16 inputs use default (they are already bf16, and accumulation
+    is pinned to f32 via preferred_element_type)."""
+    return lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride: int | tuple[int, int] = 1,
+    padding: str | Sequence[tuple[int, int]] = "SAME",
+    dilation: int | tuple[int, int] = 1,
+    accum_dtype=jnp.float32,
+) -> jax.Array:
+    """2-D convolution (cross-correlation), NHWC x HWIO -> NHWC.
+
+    Equivalent of Lasagne ``Conv2DLayer(pad='same')`` in the reference models
+    when called with the default ``padding='SAME'``.
+    """
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
+    out = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=_DIMSPEC,
+        preferred_element_type=accum_dtype,
+        precision=_precision_for(x.dtype),
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out.astype(x.dtype)
+
+
+def conv_transpose2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride: int = 2,
+    accum_dtype=jnp.float32,
+) -> jax.Array:
+    """Transposed convolution with output size exactly ``stride * input``.
+
+    Implemented as an input-dilated (fractionally-strided) convolution:
+    lhs_dilation=stride with symmetric padding chosen so that
+    ``out = stride * in``.  This is the TPU-idiomatic lowering — XLA maps it
+    onto the MXU like a regular conv — and is numerically the adjoint of a
+    strided conv, i.e. what Theano/Lasagne's ``Deconv2DLayer`` computes in the
+    reference's upsampling path ``[ref: models/fcn8.py]`` (upscore2 /
+    upscore_pool4 / upscore8) and DAE decoder ``[ref: models/DAE_h.py]``.
+
+    w: (kh, kw, cin, cout) operating on x: (B, H, W, cin).
+    For a kernel k and stride s the total padding is ``k + s - 2``; we split
+    it symmetrically (Caffe-style center alignment; any residual offset is
+    absorbed by the crop layers that follow every deconv in FCN-8).
+    """
+    kh, kw = int(w.shape[0]), int(w.shape[1])
+    pad_h = kh + stride - 2
+    pad_w = kw + stride - 2
+    padding = (
+        (pad_h - pad_h // 2, pad_h // 2),
+        (pad_w - pad_w // 2, pad_w // 2),
+    )
+    out = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=padding,
+        lhs_dilation=(stride, stride),
+        dimension_numbers=_DIMSPEC,
+        preferred_element_type=accum_dtype,
+        precision=_precision_for(x.dtype),
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out.astype(x.dtype)
+
+
+def max_pool(
+    x: jax.Array,
+    *,
+    window: int = 2,
+    stride: int = 2,
+    ceil_mode: bool = True,
+) -> jax.Array:
+    """Max pooling over H, W with optional ceil-mode output size.
+
+    ``ceil_mode=True`` reproduces Theano pooling with ``ignore_border=False``
+    (the reference's encoders depend on it: 360 -> 180 -> 90 -> 45 -> 23 -> 12).
+    Ceil mode pads the bottom/right with -inf so partial windows count.
+    """
+    b, h, wd, c = x.shape
+    if ceil_mode:
+        out_h = -(-max(h - window, 0) // stride) + 1
+        out_w = -(-max(wd - window, 0) // stride) + 1
+        need_h = (out_h - 1) * stride + window - h
+        need_w = (out_w - 1) * stride + window - wd
+        if need_h > 0 or need_w > 0:
+            neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+            x = jnp.pad(
+                x,
+                ((0, 0), (0, max(need_h, 0)), (0, max(need_w, 0)), (0, 0)),
+                constant_values=neg,
+            )
+    # NOTE: the init value must be a Python scalar literal — JAX pattern-
+    # matches (reduce_window, max, -inf literal) to attach the select-based
+    # VJP; a traced init breaks reverse-mode autodiff through the pool.
+    init = -float("inf") if jnp.issubdtype(x.dtype, jnp.floating) else int(jnp.iinfo(x.dtype).min)
+    return lax.reduce_window(
+        x,
+        init,
+        lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
+
+
+def avg_pool(x: jax.Array, *, window: int = 2, stride: int = 2) -> jax.Array:
+    """Average pooling (VALID), used by DAE variants."""
+    summed = lax.reduce_window(
+        x,
+        0.0,
+        lax.add,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
+    return summed / (window * window)
+
+
+def crop_to(x: jax.Array, target_h: int, target_w: int) -> jax.Array:
+    """Center-crop NHWC ``x`` spatially to (target_h, target_w).
+
+    Caffe-style offset crop used to align deconv outputs with skip-connection
+    feature maps (``[ref: layers/mylayers.py]`` CropLayer). Offsets are
+    ``(size - target) // 2``; shapes are static so this is free under jit.
+    """
+    _, h, w, _ = x.shape
+    if h < target_h or w < target_w:
+        raise ValueError(f"crop_to: input {(h, w)} smaller than target {(target_h, target_w)}")
+    oh = (h - target_h) // 2
+    ow = (w - target_w) // 2
+    return x[:, oh : oh + target_h, ow : ow + target_w, :]
+
+
+def upsample_pool_indices(x: jax.Array, *, factor: int = 2) -> jax.Array:
+    """Nearest-neighbour unpooling (repeat) — the DAE decoder's inverse-pool.
+
+    The reference's unpooling utilities live in ``[ref: layers/mylayers.py]``;
+    on TPU a repeat-based unpool keeps shapes static and fuses into the
+    surrounding convs, which is why we do not carry argmax switches.
+    """
+    x = jnp.repeat(x, factor, axis=1)
+    return jnp.repeat(x, factor, axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+
+
+def bilinear_kernel(k: int, cin: int, cout: int, dtype=jnp.float32) -> jax.Array:
+    """Bilinear interpolation kernel of shape (k, k, cin, cout).
+
+    Matches the classic FCN deconv initialization (Long et al.), which the
+    reference loads for its upsampling layers ``[ref: models/fcn8.py]``:
+    channel i of the input feeds only channel i of the output with a
+    separable triangle filter.
+    """
+    factor = (k + 1) // 2
+    if k % 2 == 1:
+        center = factor - 1.0
+    else:
+        center = factor - 0.5
+    og = np.ogrid[:k, :k]
+    filt = (1.0 - abs(og[0] - center) / factor) * (1.0 - abs(og[1] - center) / factor)
+    w = np.zeros((k, k, cin, cout), dtype=np.float32)
+    for i in range(min(cin, cout)):
+        w[:, :, i, i] = filt
+    return jnp.asarray(w, dtype=dtype)
+
+
+def init_conv(
+    key: jax.Array,
+    kh: int,
+    kw: int,
+    cin: int,
+    cout: int,
+    *,
+    dtype=jnp.float32,
+    scale: str = "glorot",
+) -> dict:
+    """He/Glorot-initialized conv params {'w': (kh,kw,cin,cout), 'b': (cout,)}."""
+    fan_in = kh * kw * cin
+    fan_out = kh * kw * cout
+    if scale == "glorot":
+        std = math.sqrt(2.0 / (fan_in + fan_out))
+    elif scale == "he":
+        std = math.sqrt(2.0 / fan_in)
+    else:
+        raise ValueError(scale)
+    w = jax.random.normal(key, (kh, kw, cin, cout), dtype=jnp.float32) * std
+    return {"w": w.astype(dtype), "b": jnp.zeros((cout,), dtype=dtype)}
+
+
+def init_conv_transpose_bilinear(k: int, cin: int, cout: int, *, dtype=jnp.float32) -> dict:
+    """Transposed-conv params initialized to bilinear upsampling (no bias)."""
+    return {"w": bilinear_kernel(k, cin, cout, dtype=dtype)}

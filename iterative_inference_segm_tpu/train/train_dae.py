@@ -1,0 +1,193 @@
+"""DAE (conditional score network) training workload.
+
+Rebuild of ``[ref: train_dae.py]`` (SURVEY.md §4.2): the DAE learns to map
+corrupted segmentation maps back to the clean ground truth, conditioned on
+frozen FCN-8 features. Two switchable corruption regimes, exactly as the
+reference exposes via its ``noise`` / ``from_gt`` flags:
+
+* ``from_gt=True``  : input = softmax(one_hot(y_gt) + sigma*N(0,1))
+                      (GaussianNoiseLayerSoftmax corruption),
+* ``from_gt=False`` : input = frozen-FCN softmax output ("natural" corruption),
+                      optionally with additional Gaussian-softmax noise.
+
+Loss: void-masked crossentropy of the DAE output vs the clean ground truth.
+The frozen FCN-8 forward (producing both h and y_hat) runs inside the same
+jitted program — one XLA executable per step, no host round-trips.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+
+from iterative_inference_segm_tpu.data.config_datasets import DatasetConfig, CAMVID
+from iterative_inference_segm_tpu.data.pipeline import normalize_image, random_crop_and_flip
+from iterative_inference_segm_tpu.models.dae import init_dae, dae_apply, DAE_H_CHANNELS
+from iterative_inference_segm_tpu.models.fcn8 import fcn8_apply
+from iterative_inference_segm_tpu.ops.corruption import corrupt_onehot, corrupt_probs
+from iterative_inference_segm_tpu.ops.losses import crossentropy_probs
+from iterative_inference_segm_tpu.ops.metrics import confusion_matrix, metrics_from_confusion
+from iterative_inference_segm_tpu.train.loop import TrainConfig, EarlyStopper, make_optimizer
+from iterative_inference_segm_tpu.utils.checkpoint import save_npz
+from iterative_inference_segm_tpu.utils.experiment import MetricLogger
+
+
+def make_dae_train_step(
+    cfg: DatasetConfig,
+    tcfg: TrainConfig,
+    tx,
+    *,
+    h_taps: tuple[str, ...],
+    sigma: float,
+    from_gt: bool,
+    augment: bool = True,
+    dae_depth: int = 4,
+):
+    """Jitted DAE train/eval steps with the frozen FCN inside the program.
+
+    The frozen FCN params are an explicit argument (not a closure) so they
+    are runtime inputs — closing over them would bake ~500MB of VGG weights
+    into the executable as constants."""
+
+    def corrupted_input(labels, probs, rng):
+        if from_gt:
+            return corrupt_onehot(labels, rng, n_classes=cfg.n_classes, sigma=sigma)
+        y = probs
+        if sigma > 0:
+            y = corrupt_probs(y, rng, sigma=sigma)
+        return y
+
+    def loss_fn(dae_params, y_tilde, h, labels):
+        recon = dae_apply(dae_params, y_tilde, h, depth=dae_depth, compute_dtype=tcfg.compute_dtype)
+        return crossentropy_probs(recon, labels, n_classes=cfg.n_classes), recon
+
+    @jax.jit
+    def train_step(dae_params, opt_state, fcn_params, images, labels, rng):
+        aug_rng, noise_rng = jax.random.split(rng)
+        images = normalize_image(images, cfg)
+        if augment:
+            images, labels = random_crop_and_flip(aug_rng, images, labels, crop=cfg.train_crop)
+        probs, h = fcn8_apply(
+            fcn_params, images, return_features=h_taps, compute_dtype=tcfg.compute_dtype
+        )
+        y_tilde = corrupted_input(labels, probs, noise_rng)
+        y_tilde = jax.lax.stop_gradient(y_tilde)
+        h = jax.tree.map(jax.lax.stop_gradient, h)
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            dae_params, y_tilde, h, labels
+        )
+        updates, opt_state = tx.update(grads, opt_state, dae_params)
+        dae_params = jax.tree.map(lambda p, u: p + u, dae_params, updates)
+        return dae_params, opt_state, loss
+
+    @jax.jit
+    def eval_step(dae_params, fcn_params, images, labels, rng):
+        images = normalize_image(images, cfg)
+        probs, h = fcn8_apply(
+            fcn_params, images, return_features=h_taps, compute_dtype=tcfg.compute_dtype
+        )
+        y_tilde = corrupted_input(labels, probs, rng)
+        loss, recon = loss_fn(dae_params, y_tilde, h, labels)
+        pred = jnp.argmax(recon, axis=-1)
+        cm = confusion_matrix(pred, labels, n_classes=cfg.n_classes)
+        return cm, loss
+
+    return train_step, eval_step
+
+
+def train_dae(
+    *,
+    fcn_params,
+    dataset: DatasetConfig = CAMVID,
+    train_data: Iterable | None = None,
+    val_data: Iterable | None = None,
+    tcfg: TrainConfig | None = None,
+    h_taps: tuple[str, ...] = ("pool4",),
+    sigma: float = 1.0,
+    from_gt: bool = True,
+    dae_depth: int = 4,
+    workdir: str | None = None,
+    augment: bool = True,
+    dae_params=None,
+    epoch_callback: Callable | None = None,
+) -> dict:
+    """Train the conditional DAE against a frozen FCN-8.
+
+    Mirrors the reference CLI knobs: ``h_taps`` = concat_h, ``sigma`` = noise
+    level, ``from_gt`` selects the corruption regime.
+    """
+    tcfg = tcfg or TrainConfig()
+    key = jax.random.PRNGKey(tcfg.seed)
+    if dae_params is None:
+        key, init_key = jax.random.split(key)
+        h_specs = {name: DAE_H_CHANNELS[name] for name in h_taps}
+        dae_params = init_dae(
+            init_key, n_classes=dataset.n_classes, h_specs=h_specs, depth=dae_depth
+        )
+    tx = make_optimizer(tcfg)
+    opt_state = tx.init(dae_params)
+    train_step, eval_step = make_dae_train_step(
+        dataset,
+        tcfg,
+        tx,
+        h_taps=h_taps,
+        sigma=sigma,
+        from_gt=from_gt,
+        augment=augment,
+        dae_depth=dae_depth,
+    )
+
+    def batches(src):
+        return src() if callable(src) else iter(src)
+
+    logger = MetricLogger(workdir) if workdir else None
+    stopper = EarlyStopper(tcfg.patience)
+    best_params = dae_params
+    history = []
+
+    for epoch in range(tcfg.max_epochs):
+        losses = []
+        for images, labels in batches(train_data):
+            key, step_key = jax.random.split(key)
+            dae_params, opt_state, loss = train_step(
+                dae_params, opt_state, fcn_params, jnp.asarray(images), jnp.asarray(labels), step_key
+            )
+            losses.append(loss)
+        train_loss = float(jnp.mean(jnp.stack(losses)))
+
+        cm_total = None
+        val_losses = []
+        for i, (images, labels) in enumerate(batches(val_data)):
+            cm, vloss = eval_step(
+                dae_params, fcn_params, jnp.asarray(images), jnp.asarray(labels), jax.random.fold_in(key, i)
+            )
+            cm_total = cm if cm_total is None else cm_total + cm
+            val_losses.append(vloss)
+        m = metrics_from_confusion(cm_total)
+        val_miou = float(m.mean_iou)
+        val_loss = float(jnp.mean(jnp.stack(val_losses)))
+        history.append(
+            {"epoch": epoch, "train_loss": train_loss, "val_loss": val_loss, "val_miou": val_miou}
+        )
+        if logger:
+            logger.log(epoch, **history[-1])
+        if epoch_callback:
+            epoch_callback(epoch, history[-1], dae_params)
+
+        if stopper.update(epoch, val_miou):
+            best_params = dae_params
+            if workdir:
+                save_npz(Path(workdir) / "best_dae.npz", jax.device_get(best_params))
+        if stopper.should_stop:
+            break
+
+    return {
+        "params": best_params,
+        "best_miou": stopper.best,
+        "best_epoch": stopper.best_epoch,
+        "history": history,
+        "epochs": len(history),
+    }

@@ -1,0 +1,165 @@
+"""FCN-8 training workload.
+
+Rebuild of ``[ref: train_fcn8.py]`` (SURVEY.md §4.1): data iterators ->
+void-masked crossentropy + weight decay -> Adam -> epoch loop with train/val
+metrics -> early stopping on val jaccard -> best-checkpoint save.
+
+TPU-first: the train step (augmentation included) is ONE jitted program;
+with a mesh + batch sharding the same step runs data-parallel and XLA emits
+the gradient all-reduce over ICI (see parallel/).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iterative_inference_segm_tpu.data.config_datasets import DatasetConfig, CAMVID
+from iterative_inference_segm_tpu.data.pipeline import normalize_image, random_crop_and_flip
+from iterative_inference_segm_tpu.models.fcn8 import init_fcn8, fcn8_apply
+from iterative_inference_segm_tpu.ops.losses import masked_crossentropy
+from iterative_inference_segm_tpu.ops.metrics import confusion_matrix, metrics_from_confusion
+from iterative_inference_segm_tpu.train.loop import TrainConfig, EarlyStopper, make_optimizer
+from iterative_inference_segm_tpu.utils.checkpoint import save_npz
+from iterative_inference_segm_tpu.utils.experiment import MetricLogger, build_experiment_name
+
+
+def make_fcn8_train_step(
+    cfg: DatasetConfig,
+    tcfg: TrainConfig,
+    tx,
+    *,
+    augment: bool = True,
+    fc_channels: int = 4096,
+):
+    """Build the jitted train step: (params, opt_state, batch, rng) -> ...
+
+    Augmentation (random crop + flip + normalize) runs inside the same
+    program — the host only supplies raw uint8/float batches.
+    """
+
+    def loss_fn(params, images, labels, rng):
+        logits_rng, _ = jax.random.split(rng)
+        from iterative_inference_segm_tpu.models.fcn8 import fcn8_logits
+
+        logits = fcn8_logits(
+            params, images, dropout_rng=logits_rng, compute_dtype=tcfg.compute_dtype
+        )
+        loss = masked_crossentropy(logits, labels, n_classes=cfg.n_classes)
+        return loss, logits
+
+    @jax.jit
+    def train_step(params, opt_state, images, labels, rng):
+        aug_rng, drop_rng = jax.random.split(rng)
+        images = normalize_image(images, cfg)
+        if augment:
+            images, labels = random_crop_and_flip(
+                aug_rng, images, labels, crop=cfg.train_crop
+            )
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, images, labels, drop_rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def eval_step(params, images, labels):
+        images = normalize_image(images, cfg)
+        probs, _ = fcn8_apply(params, images, compute_dtype=tcfg.compute_dtype)
+        pred = jnp.argmax(probs, axis=-1)
+        cm = confusion_matrix(pred, labels, n_classes=cfg.n_classes)
+        loss = masked_crossentropy(jnp.log(jnp.clip(probs, 1e-7, 1.0)), labels, n_classes=cfg.n_classes)
+        return cm, loss
+
+    return train_step, eval_step
+
+
+def train_fcn8(
+    *,
+    dataset: DatasetConfig = CAMVID,
+    train_data: Iterable | None = None,
+    val_data: Iterable | None = None,
+    tcfg: TrainConfig | None = None,
+    fc_channels: int = 4096,
+    workdir: str | None = None,
+    augment: bool = True,
+    params=None,
+    epoch_callback: Callable | None = None,
+) -> dict:
+    """Train FCN-8; returns {'params', 'best_miou', 'history', 'epochs'}.
+
+    ``train_data``/``val_data`` are callables returning fresh batch iterators
+    (epochs re-iterate), or lists of (images, labels) batches.
+    """
+    tcfg = tcfg or TrainConfig()
+    key = jax.random.PRNGKey(tcfg.seed)
+    if params is None:
+        key, init_key = jax.random.split(key)
+        params = init_fcn8(
+            init_key,
+            n_classes=dataset.n_classes,
+            in_channels=dataset.in_channels,
+            fc_channels=fc_channels,
+        )
+    tx = make_optimizer(tcfg)
+    opt_state = tx.init(params)
+    train_step, eval_step = make_fcn8_train_step(
+        dataset, tcfg, tx, augment=augment, fc_channels=fc_channels
+    )
+
+    def batches(src):
+        return src() if callable(src) else iter(src)
+
+    logger = MetricLogger(workdir) if workdir else None
+    stopper = EarlyStopper(tcfg.patience)
+    best_params = params
+    history = []
+
+    for epoch in range(tcfg.max_epochs):
+        losses = []
+        for images, labels in batches(train_data):
+            key, step_key = jax.random.split(key)
+            params, opt_state, loss = train_step(
+                params, opt_state, jnp.asarray(images), jnp.asarray(labels), step_key
+            )
+            losses.append(loss)
+        train_loss = float(jnp.mean(jnp.stack(losses)))
+
+        cm_total = None
+        val_losses = []
+        for images, labels in batches(val_data):
+            cm, vloss = eval_step(params, jnp.asarray(images), jnp.asarray(labels))
+            cm_total = cm if cm_total is None else cm_total + cm
+            val_losses.append(vloss)
+        m = metrics_from_confusion(cm_total)
+        val_miou = float(m.mean_iou)
+        val_acc = float(m.pixel_accuracy)
+        val_loss = float(jnp.mean(jnp.stack(val_losses)))
+        history.append(
+            {"epoch": epoch, "train_loss": train_loss, "val_loss": val_loss, "val_miou": val_miou, "val_acc": val_acc}
+        )
+        if logger:
+            logger.log(epoch, **history[-1])
+        if epoch_callback:
+            epoch_callback(epoch, history[-1], params)
+
+        if stopper.update(epoch, val_miou):
+            best_params = params
+            if workdir:
+                save_npz(Path(workdir) / "best_fcn8.npz", jax.device_get(best_params))
+        if stopper.should_stop:
+            break
+
+    return {
+        "params": best_params,
+        "best_miou": stopper.best,
+        "best_epoch": stopper.best_epoch,
+        "history": history,
+        "epochs": len(history),
+    }

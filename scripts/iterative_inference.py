@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Iterative inference — entry point mirroring ``[ref: iterative_inference.py]``.
+
+Loads a frozen FCN-8 and a trained DAE, refines the FCN softmax output with K
+score/energy gradient steps (one on-chip ``lax.scan``), and reports per-class
+IoU / mIoU / accuracy at k=0 (the FCN baseline) and k=K. With ``--search`` it
+first grid-searches (eps, K) on the validation split, then evaluates the best
+pair on test — the rebuild of ``[ref: iterative_inference_valid.py]``.
+
+Example:
+    python scripts/iterative_inference.py --synthetic --tiny --num-steps 5
+    python scripts/iterative_inference.py --fcn-npz ... --dae-npz ... \\
+        --data-root /data/camvid --search --eps-grid 0.02 0.05 0.1 0.2
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="camvid", choices=["camvid", "em", "polyps"])
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--fcn-npz", default=None)
+    p.add_argument("--dae-npz", default=None)
+    p.add_argument("--concat-h", nargs="*", default=["pool4"])
+    p.add_argument("--dae-depth", type=int, default=4)
+    p.add_argument("--epsilon", type=float, default=0.1)
+    p.add_argument("--num-steps", type=int, default=5)
+    p.add_argument("--mode", default="score", choices=["score", "energy"])
+    p.add_argument("--renorm", default="none", choices=["none", "softmax"])
+    p.add_argument("--search", action="store_true", help="grid-search (eps, K) on val first")
+    p.add_argument("--eps-grid", nargs="*", type=float, default=[0.02, 0.05, 0.1, 0.2])
+    p.add_argument("--k-max", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--num-batches", type=int, default=4)
+    p.add_argument("--dump-dir", default=None, help="write colorized PNG predictions here")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from iterative_inference_segm_tpu.data.config_datasets import DATASET_CONFIGS
+    from iterative_inference_segm_tpu.data.pipeline import normalize_image
+    from iterative_inference_segm_tpu.inference import make_refiner, grid_search_eps_k
+    from iterative_inference_segm_tpu.models import (
+        init_fcn8,
+        fcn8_apply,
+        init_dae,
+        dae_apply,
+    )
+    from iterative_inference_segm_tpu.models.dae import DAE_H_CHANNELS
+    from iterative_inference_segm_tpu.ops.metrics import (
+        confusion_matrix,
+        metrics_from_confusion,
+    )
+    from iterative_inference_segm_tpu.utils.checkpoint import load_npz
+
+    cfg = DATASET_CONFIGS[args.dataset]
+    height = width = None
+    fc_channels = 4096
+    if args.tiny:
+        height, width, fc_channels = 96, 128, 64
+
+    key = jax.random.PRNGKey(args.seed)
+    fcn_template = init_fcn8(
+        key, n_classes=cfg.n_classes, in_channels=cfg.in_channels, fc_channels=fc_channels
+    )
+    fcn_params = load_npz(args.fcn_npz, fcn_template) if args.fcn_npz else fcn_template
+    h_specs = {name: DAE_H_CHANNELS[name] for name in args.concat_h}
+    dae_template = init_dae(
+        jax.random.PRNGKey(args.seed + 1),
+        n_classes=cfg.n_classes,
+        h_specs=h_specs,
+        depth=args.dae_depth,
+    )
+    dae_params = load_npz(args.dae_npz, dae_template) if args.dae_npz else dae_template
+
+    if args.synthetic or not args.data_root:
+        from iterative_inference_segm_tpu.data.synthetic import synthetic_batches
+
+        def get_batches(split_seed):
+            return [
+                (np.asarray(normalize_image(jnp.asarray(i), cfg)), l)
+                for i, l in synthetic_batches(
+                    cfg=cfg, batch_size=args.batch_size, num_batches=args.num_batches,
+                    height=height, width=width, seed=split_seed,
+                )
+            ]
+
+        val_batches = get_batches(args.seed + 500)
+        test_batches = get_batches(args.seed + 900)
+    else:
+        from iterative_inference_segm_tpu.data.camvid import load_split, iterate_split
+
+        va_i, va_l = load_split(args.data_root, "val", cfg)
+        te_i, te_l = load_split(args.data_root, "test", cfg)
+
+        def norm_batches(images, labels):
+            return [
+                (np.asarray(normalize_image(jnp.asarray(i), cfg)), l)
+                for i, l in iterate_split(images, labels, batch_size=args.batch_size)
+            ]
+
+        val_batches = norm_batches(va_i, va_l)
+        test_batches = norm_batches(te_i, te_l)
+
+    eps, num_steps = args.epsilon, args.num_steps
+    if args.search:
+        res = grid_search_eps_k(
+            fcn8_apply, dae_apply, fcn_params, dae_params, val_batches,
+            n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,
+            h_taps=tuple(args.concat_h), mode=args.mode, renorm=args.renorm,
+        )
+        eps, num_steps = res["best_eps"], res["best_k"]
+        print(f"val search: best eps={eps} K={num_steps} (val mIoU {res['best_miou']:.4f})")
+
+    compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    refine = make_refiner(
+        fcn8_apply, dae_apply, fcn_params, dae_params,
+        eps=eps, num_steps=max(num_steps, 1), h_taps=tuple(args.concat_h),
+        mode=args.mode, renorm=args.renorm, compute_dtype=compute_dtype,
+    )
+
+    cm0 = cmk = None
+    for bi, (images, labels) in enumerate(test_batches):
+        y0, yk = refine(jnp.asarray(images))
+        p0 = jnp.argmax(y0, -1)
+        pk = jnp.argmax(yk, -1)
+        labels = jnp.asarray(labels)
+        c0 = confusion_matrix(p0, labels, n_classes=cfg.n_classes)
+        ck = confusion_matrix(pk, labels, n_classes=cfg.n_classes)
+        cm0 = c0 if cm0 is None else cm0 + c0
+        cmk = ck if cmk is None else cmk + ck
+        if args.dump_dir:
+            from iterative_inference_segm_tpu.utils.colorize import save_label_png
+
+            os.makedirs(args.dump_dir, exist_ok=True)
+            for j in range(np.asarray(pk).shape[0]):
+                save_label_png(
+                    os.path.join(args.dump_dir, f"b{bi:03d}_{j:02d}_k{num_steps}.png"),
+                    np.asarray(pk)[j], cfg,
+                )
+                save_label_png(
+                    os.path.join(args.dump_dir, f"b{bi:03d}_{j:02d}_k0.png"),
+                    np.asarray(p0)[j], cfg,
+                )
+
+    m0 = metrics_from_confusion(cm0)
+    mk = metrics_from_confusion(cmk)
+    print(f"step 0 (FCN-8 baseline): mIoU {float(m0.mean_iou):.4f} acc {float(m0.pixel_accuracy):.4f}")
+    print(f"step {num_steps} (refined):     mIoU {float(mk.mean_iou):.4f} acc {float(mk.pixel_accuracy):.4f}")
+    print("per-class IoU (k=0 -> k=K):")
+    for ci, name in enumerate(cfg.class_names):
+        a = float(m0.per_class_iou[ci])
+        b = float(mk.per_class_iou[ci])
+        print(f"  {name:>14s}: {a:.4f} -> {b:.4f}  ({b - a:+.4f})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

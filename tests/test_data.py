@@ -1,0 +1,117 @@
+"""Data layer tests: synthetic generator, jittable preprocessing, iterators."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from iterative_inference_segm_tpu.data import (
+    DATASET_CONFIGS,
+    synthetic_batches,
+    synthetic_example,
+    normalize_image,
+    random_crop_and_flip,
+    iterate_split,
+)
+from iterative_inference_segm_tpu.data.config_datasets import CAMVID, EM
+from iterative_inference_segm_tpu.utils.colorize import colorize_labels
+
+
+def test_dataset_registry():
+    assert set(DATASET_CONFIGS) == {"camvid", "em", "polyps"}
+    assert CAMVID.n_classes == 11 and CAMVID.void_label == 11
+    assert CAMVID.height == 360 and CAMVID.width == 480
+
+
+def test_synthetic_example_shapes_and_ranges():
+    rng = np.random.default_rng(0)
+    img, lab = synthetic_example(rng, CAMVID, height=72, width=96)
+    assert img.shape == (72, 96, 3) and img.dtype == np.float32
+    assert lab.shape == (72, 96) and lab.dtype == np.int32
+    assert img.min() >= 0 and img.max() <= 1
+    assert lab.min() >= 0 and lab.max() <= CAMVID.void_label
+
+
+def test_synthetic_labels_follow_image():
+    # same class -> same base color (learnability sanity check)
+    rng = np.random.default_rng(1)
+    img, lab = synthetic_example(rng, CAMVID, height=64, width=64, void_fraction=0)
+    for cls in np.unique(lab):
+        pix = img[lab == cls]
+        assert pix.std(axis=0).max() < 0.2
+
+
+def test_synthetic_batches_iterator():
+    batches = list(synthetic_batches(batch_size=2, num_batches=3, height=32, width=32))
+    assert len(batches) == 3
+    imgs, labs = batches[0]
+    assert imgs.shape == (2, 32, 32, 3) and labs.shape == (2, 32, 32)
+
+
+def test_synthetic_em_single_channel():
+    rng = np.random.default_rng(0)
+    img, lab = synthetic_example(rng, EM, height=32, width=32)
+    assert img.shape == (32, 32, 1)
+    assert lab.max() <= EM.void_label
+
+
+def test_normalize_image_stats():
+    rng = np.random.default_rng(2)
+    x = rng.random((2, 16, 16, 3)).astype(np.float32)
+    out = np.asarray(normalize_image(jnp.asarray(x), CAMVID))
+    expected = (x - np.array(CAMVID.mean)) / np.array(CAMVID.std)
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-6)
+
+
+def test_normalize_accepts_255_range():
+    x = jnp.full((1, 4, 4, 3), 255.0)
+    out = np.asarray(normalize_image(x, CAMVID))
+    expected = (1.0 - np.array(CAMVID.mean)) / np.array(CAMVID.std)
+    np.testing.assert_allclose(out[0, 0, 0], expected, rtol=1e-4)
+
+
+def test_random_crop_and_flip_shapes_and_alignment():
+    rng = np.random.default_rng(3)
+    imgs = rng.random((4, 32, 48, 3)).astype(np.float32)
+    # labels encode the x coordinate so image/label alignment is checkable
+    labs = np.tile(np.arange(48, dtype=np.int32)[None, None, :], (4, 32, 1))
+    imgs_enc = np.tile(labs[..., None].astype(np.float32), (1, 1, 1, 3))
+    ic, lc = random_crop_and_flip(
+        jax.random.PRNGKey(0), jnp.asarray(imgs_enc), jnp.asarray(labs), crop=(16, 24)
+    )
+    assert ic.shape == (4, 16, 24, 3) and lc.shape == (4, 16, 24)
+    np.testing.assert_allclose(np.asarray(ic[..., 0]), np.asarray(lc).astype(np.float32))
+
+
+def test_random_crop_and_flip_is_jittable():
+    f = jax.jit(lambda k, i, l: random_crop_and_flip(k, i, l, crop=(8, 8)))
+    ic, lc = f(
+        jax.random.PRNGKey(1),
+        jnp.zeros((2, 16, 16, 3)),
+        jnp.zeros((2, 16, 16), jnp.int32),
+    )
+    assert ic.shape == (2, 8, 8, 3)
+
+
+def test_iterate_split_prefetch_and_order():
+    imgs = np.arange(10, dtype=np.float32).reshape(10, 1, 1, 1)
+    labs = np.arange(10, dtype=np.int32).reshape(10, 1, 1)
+    got = [b[0].ravel().tolist() for b in iterate_split(imgs, labs, batch_size=4)]
+    assert got == [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9]]
+    got_dl = list(iterate_split(imgs, labs, batch_size=4, drop_last=True))
+    assert len(got_dl) == 2
+
+
+def test_iterate_split_shuffle_deterministic():
+    imgs = np.arange(8, dtype=np.float32).reshape(8, 1, 1, 1)
+    labs = np.zeros((8, 1, 1), np.int32)
+    a = [b[0].ravel().tolist() for b in iterate_split(imgs, labs, batch_size=8, shuffle=True, seed=1)]
+    b = [b[0].ravel().tolist() for b in iterate_split(imgs, labs, batch_size=8, shuffle=True, seed=1)]
+    assert a == b
+    assert a[0] != list(range(8))
+
+
+def test_colorize_labels():
+    lab = np.array([[0, 11]])
+    rgb = colorize_labels(lab, CAMVID)
+    np.testing.assert_array_equal(rgb[0, 0], CAMVID.palette[0])
+    np.testing.assert_array_equal(rgb[0, 1], CAMVID.palette[11])
