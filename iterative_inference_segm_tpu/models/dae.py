@@ -8,14 +8,29 @@ scale. By Alain & Bengio (2014), ``r(y~, h) - y~`` then estimates the
 conditional score ``d log p(y|h) / dy`` — the quantity the iterative
 inference loop follows.
 
-Architecture (re-designed, not transliterated): a conv/pool encoder over the
-probability map with channel widths (64, 128, 256, 512), feature-map
-conditioning by channel-concat at the scale where the FCN tap lives, a
-bottleneck conv, and a mirrored decoder of learned bilinear-initialized
-transposed convs with encoder skip-concats, ending in a 1x1 conv + softmax so
-the output is again a probability map. Ceil-mode pooling matches the FCN-8
-encoder exactly, so ``h`` taps align shape-for-shape at every scale
-(360x480 -> 23x30 at /16, etc.).
+Architecture (re-designed for TPU, mirroring the reference's encoder/decoder
+shape rather than a heavy U-Net):
+
+* **Encoder**: conv3x3 + ReLU + ceil-mode 2x2 max-pool per scale, channel
+  widths configurable (default (32, 64, 128, 256)); FCN-8 conditioning taps
+  are channel-concatenated at the scale where they live (pool4 -> /16),
+  exactly like the reference's ConcatLayer conditioning.
+* **Decoder**: FCN-8-style — a 1x1 score projection to ``n_classes`` at the
+  bottleneck, then a chain of k=4 s=2 bilinear-initialized transposed convs
+  on class-width maps, each fused (add) with a 1x1 score projection of the
+  matching encoder feature map. This is the reference's unpool/deconv
+  decoder re-expressed the way FCN-8 upsamples: detail is recovered through
+  cheap score fusions instead of full-width feature concats, which keeps the
+  per-refinement-step cost ~7 GFLOPs at 360x480 instead of ~240 (the
+  5-step refinement loop runs the decoder 5x per image — BASELINE.json:5's
+  1000 img/s/chip target demands a lean score network).
+
+Ceil-mode pooling matches the FCN-8 encoder exactly, so ``h`` taps align
+shape-for-shape at every scale (360x480 -> 23x30 at /16).
+
+The whole function is differentiable in ``y`` — the iterative-inference
+engine takes ``jax.vjp``/``jax.grad`` through it, as the reference does via
+``T.grad`` (``[ref: iterative_inference.py]``).
 """
 
 from __future__ import annotations
@@ -49,7 +64,7 @@ _H_SCALE = {
 # Channel width of each conditioning tap (input = RGB image).
 DAE_H_CHANNELS = dict(FCN8_FEATURE_CHANNELS, input=3)
 
-_ENC_WIDTHS = (64, 128, 256, 512)
+DEFAULT_WIDTHS = (32, 64, 128, 256)
 
 
 def init_dae(
@@ -58,6 +73,7 @@ def init_dae(
     n_classes: int = 11,
     h_specs: Mapping[str, int] | None = None,
     depth: int = 4,
+    widths: tuple[int, ...] = DEFAULT_WIDTHS,
     dtype=jnp.float32,
 ) -> dict:
     """Initialize the DAE param pytree.
@@ -65,7 +81,7 @@ def init_dae(
     h_specs maps conditioning tap name -> channel count, mirroring the
     reference's ``concat_h`` flag in ``[ref: train_dae.py]`` (default
     conditioning on 'pool4'). ``depth`` is the number of pooling stages
-    (4 -> bottleneck at /16).
+    (4 -> bottleneck at /16); ``widths[:depth]`` are the encoder channels.
     """
     if h_specs is None:
         h_specs = {"pool4": DAE_H_CHANNELS["pool4"]}
@@ -74,10 +90,12 @@ def init_dae(
             raise ValueError(f"unknown conditioning tap {name!r}; known: {sorted(_H_SCALE)}")
         if _H_SCALE[name] > depth:
             raise ValueError(f"tap {name!r} lives at scale /{2 ** _H_SCALE[name]} deeper than depth {depth}")
+    if depth > len(widths):
+        raise ValueError(f"depth {depth} exceeds len(widths) {len(widths)}")
+    widths = tuple(widths[:depth])
 
     params: dict = {}
-    keys = iter(jax.random.split(key, 64))
-    widths = _ENC_WIDTHS[:depth]
+    keys = iter(jax.random.split(key, 4 * depth + 8))
 
     # h taps concatenated at the *input* of the conv at their scale.
     def h_extra(scale: int) -> int:
@@ -90,16 +108,12 @@ def init_dae(
 
     params["bottleneck"] = init_conv(next(keys), 3, 3, cin, widths[-1], dtype=dtype, scale="he")
 
-    cin = widths[-1]
-    for i in reversed(range(len(widths))):
-        skip_c = widths[i]
-        params[f"up{i + 1}"] = init_conv_transpose_bilinear(4, cin, cin, dtype=dtype)
-        params[f"dec{i + 1}"] = init_conv(
-            next(keys), 3, 3, cin + skip_c, max(skip_c, 64), dtype=dtype, scale="he"
-        )
-        cin = max(skip_c, 64)
-
-    params["out"] = init_conv(next(keys), 1, 1, cin, n_classes, dtype=dtype)
+    # FCN-style decoder: score projections + class-width deconv chain.
+    params["score_bottleneck"] = init_conv(next(keys), 1, 1, widths[-1], n_classes, dtype=dtype)
+    for i in reversed(range(depth)):
+        params[f"up{i + 1}"] = init_conv_transpose_bilinear(4, n_classes, n_classes, dtype=dtype)
+        params[f"score_enc{i + 1}"] = init_conv(next(keys), 1, 1, widths[i], n_classes, dtype=dtype)
+    params["out"] = init_conv(next(keys), 1, 1, n_classes, n_classes, dtype=dtype)
     return params
 
 
@@ -115,10 +129,6 @@ def dae_apply(
 
     y: (B, H, W, C) probability map; h: dict of FCN-8 feature taps.
     Returns (B, H, W, C) softmax probabilities at the input resolution.
-
-    The whole function is differentiable in ``y`` — the iterative-inference
-    engine takes ``jax.vjp`` through it (``[ref: iterative_inference.py]``
-    does the same via ``T.grad`` through the Theano graph).
     """
     h = dict(h or {})
     by_scale: dict[int, list[jax.Array]] = {}
@@ -136,8 +146,7 @@ def dae_apply(
     x = y.astype(compute_dtype)
     x = concat_h(x, 0)
     skips = []
-    widths = _ENC_WIDTHS[:depth]
-    for i in range(len(widths)):
+    for i in range(depth):
         p = params[f"enc{i + 1}"]
         x = jax.nn.relu(conv2d(x, p["w"], p["b"], padding="SAME"))
         skips.append(x)
@@ -147,17 +156,20 @@ def dae_apply(
     p = params["bottleneck"]
     x = jax.nn.relu(conv2d(x, p["w"], p["b"], padding="SAME"))
 
-    for i in reversed(range(len(widths))):
+    # Decoder on class-width score maps, at compute_dtype (f32 accumulation
+    # is pinned inside the conv wrappers; the f32-compute_dtype configuration
+    # is the parity path). Only the final softmax is forced to f32.
+    p = params["score_bottleneck"]
+    s = conv2d(x, p["w"], p["b"], padding="SAME")
+    for i in reversed(range(depth)):
         skip = skips[i]
-        x = conv_transpose2d(x, params[f"up{i + 1}"]["w"].astype(x.dtype), stride=2)
-        x = crop_to(x, skip.shape[1], skip.shape[2])
-        x = jnp.concatenate([x, skip], axis=-1)
-        p = params[f"dec{i + 1}"]
-        x = jax.nn.relu(conv2d(x, p["w"], p["b"], padding="SAME"))
+        s = conv_transpose2d(s, params[f"up{i + 1}"]["w"], stride=2)
+        p = params[f"score_enc{i + 1}"]
+        sk = conv2d(skip, p["w"], p["b"], padding="SAME")
+        s = crop_to(s, sk.shape[1], sk.shape[2])
+        s = s + sk
 
     p = params["out"]
-    logits = conv2d(
-        x.astype(jnp.float32), p["w"].astype(jnp.float32), p["b"].astype(jnp.float32), padding="SAME"
-    )
-    logits = crop_to(logits, y.shape[1], y.shape[2])
+    logits = conv2d(s, p["w"], p["b"], padding="SAME")
+    logits = crop_to(logits, y.shape[1], y.shape[2]).astype(jnp.float32)
     return jax.nn.softmax(logits, axis=-1)

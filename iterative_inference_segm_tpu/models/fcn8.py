@@ -154,34 +154,35 @@ def fcn8_apply(
     if "fc7" in want:
         feats["fc7"] = h
 
-    # Score + skip-fusion decoder (all f32: the refinement path differentiates
-    # through these maps and parity demands full precision here).
-    h = h.astype(jnp.float32)
+    # Score + skip-fusion decoder runs at compute_dtype (f32 accumulation is
+    # pinned inside conv2d/conv_transpose2d); logits are emitted in f32. The
+    # parity-critical configuration keeps compute_dtype=f32, where convs use
+    # HIGHEST precision — see ops.conv._precision_for.
     p = params["score_fr"]
-    score = conv2d(h, p["w"].astype(jnp.float32), p["b"].astype(jnp.float32), padding="SAME")
+    score = conv2d(h, p["w"], p["b"], padding="SAME")
 
-    up2 = conv_transpose2d(score, params["upscore2"]["w"].astype(jnp.float32), stride=2)
+    up2 = conv_transpose2d(score, params["upscore2"]["w"], stride=2)
     sp4 = conv2d(
-        pool4.astype(jnp.float32),
-        params["score_pool4"]["w"].astype(jnp.float32),
-        params["score_pool4"]["b"].astype(jnp.float32),
+        pool4,
+        params["score_pool4"]["w"],
+        params["score_pool4"]["b"],
         padding="SAME",
     )
     up2 = crop_to(up2, sp4.shape[1], sp4.shape[2])
     fuse4 = up2 + sp4
 
-    up4 = conv_transpose2d(fuse4, params["upscore_pool4"]["w"].astype(jnp.float32), stride=2)
+    up4 = conv_transpose2d(fuse4, params["upscore_pool4"]["w"], stride=2)
     sp3 = conv2d(
-        pool3.astype(jnp.float32),
-        params["score_pool3"]["w"].astype(jnp.float32),
-        params["score_pool3"]["b"].astype(jnp.float32),
+        pool3,
+        params["score_pool3"]["w"],
+        params["score_pool3"]["b"],
         padding="SAME",
     )
     up4 = crop_to(up4, sp3.shape[1], sp3.shape[2])
     fuse3 = up4 + sp3
 
-    up8 = conv_transpose2d(fuse3, params["upscore8"]["w"].astype(jnp.float32), stride=8)
-    logits = crop_to(up8, x.shape[1], x.shape[2])
+    up8 = conv_transpose2d(fuse3, params["upscore8"]["w"], stride=8)
+    logits = crop_to(up8, x.shape[1], x.shape[2]).astype(jnp.float32)
 
     if "score" in want:
         feats["score"] = logits

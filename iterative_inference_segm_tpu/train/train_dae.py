@@ -44,16 +44,33 @@ def make_dae_train_step(
     sigma: float,
     from_gt: bool,
     augment: bool = True,
+    normalize: bool = True,
     dae_depth: int = 4,
+    corruption_impl: str = "auto",
 ):
     """Jitted DAE train/eval steps with the frozen FCN inside the program.
 
     The frozen FCN params are an explicit argument (not a closure) so they
     are runtime inputs — closing over them would bake ~500MB of VGG weights
-    into the executable as constants."""
+    into the executable as constants.
+
+    ``corruption_impl``: 'pallas' (fused single-pass TPU kernel), 'jax'
+    (pure-jax oracle), or 'auto' (pallas on TPU, jax elsewhere). The two
+    draw different (same-distribution) noise streams.
+    """
+    if corruption_impl == "auto":
+        corruption_impl = "pallas" if jax.devices()[0].platform == "tpu" else "jax"
+    if corruption_impl not in ("pallas", "jax"):
+        raise ValueError(f"unknown corruption_impl {corruption_impl!r}")
 
     def corrupted_input(labels, probs, rng):
         if from_gt:
+            if corruption_impl == "pallas":
+                from iterative_inference_segm_tpu.ops.pallas import corrupt_onehot_pallas
+
+                return corrupt_onehot_pallas(
+                    labels, rng, n_classes=cfg.n_classes, sigma=sigma
+                )
             return corrupt_onehot(labels, rng, n_classes=cfg.n_classes, sigma=sigma)
         y = probs
         if sigma > 0:
@@ -67,7 +84,8 @@ def make_dae_train_step(
     @jax.jit
     def train_step(dae_params, opt_state, fcn_params, images, labels, rng):
         aug_rng, noise_rng = jax.random.split(rng)
-        images = normalize_image(images, cfg)
+        if normalize:
+            images = normalize_image(images, cfg)
         if augment:
             images, labels = random_crop_and_flip(aug_rng, images, labels, crop=cfg.train_crop)
         probs, h = fcn8_apply(
@@ -85,7 +103,8 @@ def make_dae_train_step(
 
     @jax.jit
     def eval_step(dae_params, fcn_params, images, labels, rng):
-        images = normalize_image(images, cfg)
+        if normalize:
+            images = normalize_image(images, cfg)
         probs, h = fcn8_apply(
             fcn_params, images, return_features=h_taps, compute_dtype=tcfg.compute_dtype
         )
@@ -111,6 +130,7 @@ def train_dae(
     dae_depth: int = 4,
     workdir: str | None = None,
     augment: bool = True,
+    normalize: bool = True,
     dae_params=None,
     epoch_callback: Callable | None = None,
 ) -> dict:
@@ -137,6 +157,7 @@ def train_dae(
         sigma=sigma,
         from_gt=from_gt,
         augment=augment,
+        normalize=normalize,
         dae_depth=dae_depth,
     )
 

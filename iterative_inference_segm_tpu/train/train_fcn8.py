@@ -35,6 +35,7 @@ def make_fcn8_train_step(
     tx,
     *,
     augment: bool = True,
+    normalize: bool = True,
     fc_channels: int = 4096,
 ):
     """Build the jitted train step: (params, opt_state, batch, rng) -> ...
@@ -56,7 +57,8 @@ def make_fcn8_train_step(
     @jax.jit
     def train_step(params, opt_state, images, labels, rng):
         aug_rng, drop_rng = jax.random.split(rng)
-        images = normalize_image(images, cfg)
+        if normalize:
+            images = normalize_image(images, cfg)
         if augment:
             images, labels = random_crop_and_flip(
                 aug_rng, images, labels, crop=cfg.train_crop
@@ -70,7 +72,8 @@ def make_fcn8_train_step(
 
     @jax.jit
     def eval_step(params, images, labels):
-        images = normalize_image(images, cfg)
+        if normalize:
+            images = normalize_image(images, cfg)
         probs, _ = fcn8_apply(params, images, compute_dtype=tcfg.compute_dtype)
         pred = jnp.argmax(probs, axis=-1)
         cm = confusion_matrix(pred, labels, n_classes=cfg.n_classes)
@@ -89,10 +92,14 @@ def train_fcn8(
     fc_channels: int = 4096,
     workdir: str | None = None,
     augment: bool = True,
+    normalize: bool = True,
     params=None,
     epoch_callback: Callable | None = None,
 ) -> dict:
     """Train FCN-8; returns {'params', 'best_miou', 'history', 'epochs'}.
+
+    Set ``normalize=False`` when batches are already normalized (e.g. the
+    native packed-dataset loader applies mean/std on the host).
 
     ``train_data``/``val_data`` are callables returning fresh batch iterators
     (epochs re-iterate), or lists of (images, labels) batches.
@@ -110,7 +117,7 @@ def train_fcn8(
     tx = make_optimizer(tcfg)
     opt_state = tx.init(params)
     train_step, eval_step = make_fcn8_train_step(
-        dataset, tcfg, tx, augment=augment, fc_channels=fc_channels
+        dataset, tcfg, tx, augment=augment, normalize=normalize, fc_channels=fc_channels
     )
 
     def batches(src):

@@ -1,0 +1,118 @@
+"""Native C++ input runtime tests: pack/iterate round-trip, shuffle, threads."""
+
+import numpy as np
+import pytest
+
+from iterative_inference_segm_tpu.data.config_datasets import CAMVID
+from iterative_inference_segm_tpu.data.native_loader import NativeDataset, pack_dataset
+
+
+@pytest.fixture(scope="module")
+def packed(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    n, h, w, c = 13, 24, 32, 3
+    images = rng.integers(0, 256, size=(n, h, w, c), dtype=np.uint8)
+    labels = rng.integers(0, 12, size=(n, h, w)).astype(np.int32)
+    path = tmp_path_factory.mktemp("data") / "toy.iist"
+    pack_dataset(path, images, labels, CAMVID)
+    return path, images, labels
+
+
+def _denormalize(img):
+    mean = np.array(CAMVID.mean, np.float32)
+    std = np.array(CAMVID.std, np.float32)
+    return (img * std + mean) * 255.0
+
+
+def test_open_and_info(packed):
+    path, images, labels = packed
+    with NativeDataset(path) as ds:
+        assert (ds.n, ds.height, ds.width, ds.channels) == images.shape
+        assert ds.n_classes == 11
+
+
+def test_roundtrip_values_and_order(packed):
+    path, images, labels = packed
+    with NativeDataset(path) as ds:
+        got_imgs, got_labs = [], []
+        for bi, bl in ds.batches(4):
+            got_imgs.append(bi)
+            got_labs.append(bl)
+    # 13 samples -> 4 batches, last padded to 4
+    assert len(got_imgs) == 4
+    all_imgs = np.concatenate(got_imgs)[:13]
+    all_labs = np.concatenate(got_labs)[:13]
+    np.testing.assert_array_equal(all_labs, labels)
+    # normalization round-trips to the original uint8 values
+    np.testing.assert_allclose(_denormalize(all_imgs), images.astype(np.float32), atol=0.51)
+
+
+def test_tail_padding_is_void(packed):
+    path, _, _ = packed
+    with NativeDataset(path) as ds:
+        batches = list(ds.batches(4))
+    last_imgs, last_labs = batches[-1]
+    # sample 13 fills index 0; indices 1..3 are padding
+    assert (last_labs[1:] == 11).all()
+    assert (last_imgs[1:] == 0.0).all()
+
+
+def test_drop_last(packed):
+    path, _, _ = packed
+    with NativeDataset(path) as ds:
+        assert len(list(ds.batches(4, drop_last=True))) == 3
+
+
+def test_shuffle_deterministic_and_complete(packed):
+    path, _, labels = packed
+    with NativeDataset(path) as ds:
+        a = [l.copy() for _, l in ds.batches(4, shuffle=True, seed=7)]
+        b = [l.copy() for _, l in ds.batches(4, shuffle=True, seed=7)]
+        c = [l.copy() for _, l in ds.batches(4, shuffle=True, seed=8)]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    assert any(not np.array_equal(x, y) for x, y in zip(a, c))
+    # every sample appears exactly once per epoch
+    seen = np.concatenate(a)[:13]
+    orig_keys = sorted(labels.reshape(13, -1).sum(1).tolist())
+    got_keys = sorted(seen.reshape(13, -1).sum(1).tolist())
+    assert orig_keys == got_keys
+
+
+def test_multithreaded_epoch_complete_and_ordered(packed):
+    # batches are produced by many workers but must be DELIVERED in batch-
+    # index order (reorder buffer) — epoch iteration is deterministic.
+    path, _, labels = packed
+    with NativeDataset(path) as ds:
+        ref = [l.copy() for _, l in ds.batches(2, shuffle=True, seed=3, n_threads=1)]
+        for _ in range(10):
+            labs = [l.copy() for _, l in ds.batches(2, shuffle=True, seed=3, n_threads=7)]
+            assert len(labs) == len(ref)
+            for a, b in zip(labs, ref):
+                np.testing.assert_array_equal(a, b)
+    seen = np.concatenate(ref)[:13]
+    assert sorted(seen.reshape(13, -1).sum(1).tolist()) == sorted(
+        labels.reshape(13, -1).sum(1).tolist()
+    )
+
+
+def test_multiple_epochs_reuse_handle(packed):
+    path, _, _ = packed
+    with NativeDataset(path) as ds:
+        for _ in range(3):
+            assert len(list(ds.batches(4))) == 4
+
+
+def test_pack_validates_shapes(tmp_path):
+    with pytest.raises(ValueError):
+        pack_dataset(
+            tmp_path / "bad.iist",
+            np.zeros((2, 4, 4, 3), np.uint8),
+            np.zeros((3, 4, 4), np.int32),
+            CAMVID,
+        )
+
+
+def test_open_missing_file():
+    with pytest.raises(FileNotFoundError):
+        NativeDataset("/nonexistent/path.iist")
