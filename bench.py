@@ -23,7 +23,7 @@ import time
 
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--batch", type=int, default=32)
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--warmup", type=int, default=2)
@@ -31,6 +31,9 @@ def main() -> int:
     p.add_argument("--width", type=int, default=480)
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--fc-channels", type=int, default=4096)
+    p.add_argument("--dae-stem-pool", type=int, default=1,
+                   help="DAE stem pooling levels (0 = classic full-res encoder)")
+    p.add_argument("--dae-depth", type=int, default=3)
     args = p.parse_args()
 
     import jax
@@ -58,6 +61,8 @@ def main() -> int:
         jax.random.PRNGKey(1),
         n_classes=n_classes,
         h_specs={"pool4": DAE_H_CHANNELS["pool4"]},
+        depth=args.dae_depth,
+        stem_pool=args.dae_stem_pool,
     )
 
     @jax.jit
@@ -65,7 +70,9 @@ def main() -> int:
         y0, h = fcn8_apply(
             fcn_params, x, return_features=("pool4",), compute_dtype=compute_dtype
         )
-        dae_fn = lambda y: dae_apply(dae_params, y, h, compute_dtype=compute_dtype)
+        dae_fn = lambda y: dae_apply(
+            dae_params, y, h, depth=args.dae_depth, compute_dtype=compute_dtype
+        )
         y_k = refinement_scan(dae_fn, y0, eps=0.1, num_steps=args.steps, mode="score")
         pred = jnp.argmax(y_k, axis=-1)
         # tiny on-device summary: timing syncs on a scalar device->host fetch

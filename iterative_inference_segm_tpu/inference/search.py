@@ -36,6 +36,7 @@ def grid_search_eps_k(
     h_taps: tuple[str, ...] = ("pool4",),
     mode: str = "score",
     renorm: str = "none",
+    dae_kwargs: dict | None = None,
 ) -> dict:
     """Evaluate mIoU for every (eps in eps_grid, K in 0..k_max) on ``batches``.
 
@@ -44,11 +45,12 @@ def grid_search_eps_k(
     so pass a list (validation sets are small: CamVid val = 101 images).
     """
     batches = list(batches)
+    dae_kwargs = dict(dae_kwargs or {})
 
     @jax.jit
     def trajectory_cms(eps: jax.Array, x: jax.Array, labels: jax.Array) -> jax.Array:
         y0, h = fcn_apply(fcn_params, x, return_features=h_taps)
-        dae_fn = lambda y: dae_apply(dae_params, y, h)
+        dae_fn = lambda y: dae_apply(dae_params, y, h, **dae_kwargs)
         traj = refine_with_trajectory(
             dae_fn, y0, eps=eps, num_steps=k_max, mode=mode, renorm=renorm
         )

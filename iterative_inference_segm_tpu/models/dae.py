@@ -74,6 +74,7 @@ def init_dae(
     h_specs: Mapping[str, int] | None = None,
     depth: int = 4,
     widths: tuple[int, ...] = DEFAULT_WIDTHS,
+    stem_pool: int = 0,
     dtype=jnp.float32,
 ) -> dict:
     """Initialize the DAE param pytree.
@@ -81,30 +82,46 @@ def init_dae(
     h_specs maps conditioning tap name -> channel count, mirroring the
     reference's ``concat_h`` flag in ``[ref: train_dae.py]`` (default
     conditioning on 'pool4'). ``depth`` is the number of pooling stages
-    (4 -> bottleneck at /16); ``widths[:depth]`` are the encoder channels.
+    below the stem; ``widths[:depth]`` are the encoder channels.
+
+    ``stem_pool`` > 0 avg-pools the probability map that many times BEFORE
+    the first conv, so every feature-width op runs at /2^stem_pool or below;
+    full-resolution detail re-enters through a 1x1 'score_input' fusion of
+    the raw map added after the final upsample. This is the TPU-latency
+    optimization for the refinement loop (full-res small-channel convs are
+    the dominant cost of a DAE step on v5e); stem_pool=0 keeps the classic
+    layout. Encoder stage i then sits at scale /2^(stem_pool+i).
     """
     if h_specs is None:
         h_specs = {"pool4": DAE_H_CHANNELS["pool4"]}
     for name in h_specs:
         if name not in _H_SCALE:
             raise ValueError(f"unknown conditioning tap {name!r}; known: {sorted(_H_SCALE)}")
-        if _H_SCALE[name] > depth:
-            raise ValueError(f"tap {name!r} lives at scale /{2 ** _H_SCALE[name]} deeper than depth {depth}")
+        if _H_SCALE[name] > depth + stem_pool:
+            raise ValueError(
+                f"tap {name!r} lives at scale /{2 ** _H_SCALE[name]} deeper than "
+                f"stem_pool+depth {stem_pool + depth}"
+            )
+        if _H_SCALE[name] < stem_pool:
+            raise ValueError(
+                f"tap {name!r} at scale /{2 ** _H_SCALE[name]} is shallower than the "
+                f"stem (/{2 ** stem_pool}); conditioning above the stem is unsupported"
+            )
     if depth > len(widths):
         raise ValueError(f"depth {depth} exceeds len(widths) {len(widths)}")
     widths = tuple(widths[:depth])
 
     params: dict = {}
-    keys = iter(jax.random.split(key, 4 * depth + 8))
+    keys = iter(jax.random.split(key, 4 * depth + 2 * stem_pool + 8))
 
     # h taps concatenated at the *input* of the conv at their scale.
     def h_extra(scale: int) -> int:
         return sum(c for n, c in h_specs.items() if _H_SCALE[n] == scale)
 
-    cin = n_classes + h_extra(0)
+    cin = n_classes + h_extra(stem_pool)
     for i, cout in enumerate(widths):
         params[f"enc{i + 1}"] = init_conv(next(keys), 3, 3, cin, cout, dtype=dtype, scale="he")
-        cin = cout + h_extra(i + 1)
+        cin = cout + h_extra(stem_pool + i + 1)
 
     params["bottleneck"] = init_conv(next(keys), 3, 3, cin, widths[-1], dtype=dtype, scale="he")
 
@@ -114,6 +131,10 @@ def init_dae(
         params[f"up{i + 1}"] = init_conv_transpose_bilinear(4, n_classes, n_classes, dtype=dtype)
         params[f"score_enc{i + 1}"] = init_conv(next(keys), 1, 1, widths[i], n_classes, dtype=dtype)
     params["out"] = init_conv(next(keys), 1, 1, n_classes, n_classes, dtype=dtype)
+    for j in range(stem_pool):
+        params[f"up_stem{j + 1}"] = init_conv_transpose_bilinear(4, n_classes, n_classes, dtype=dtype)
+    if stem_pool:
+        params["score_input"] = init_conv(next(keys), 1, 1, n_classes, n_classes, dtype=dtype)
     return params
 
 
@@ -129,7 +150,12 @@ def dae_apply(
 
     y: (B, H, W, C) probability map; h: dict of FCN-8 feature taps.
     Returns (B, H, W, C) softmax probabilities at the input resolution.
+    The stem configuration is inferred from the params (presence of
+    ``up_stem*`` entries), so the same apply serves both layouts.
     """
+    from iterative_inference_segm_tpu.ops.conv import avg_pool
+
+    stem_pool = sum(1 for k in params if k.startswith("up_stem"))
     h = dict(h or {})
     by_scale: dict[int, list[jax.Array]] = {}
     for name, v in h.items():
@@ -144,14 +170,22 @@ def dae_apply(
         return x
 
     x = y.astype(compute_dtype)
-    x = concat_h(x, 0)
+    for _ in range(stem_pool):
+        # avg (not max) pooling on the stem: the input is a probability map
+        # and the pooled map should stay a smoothed distribution. Edge-pad to
+        # even so the decoder's x2 chain can always be cropped back down.
+        ph, pw = x.shape[1] % 2, x.shape[2] % 2
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        x = avg_pool(x, window=2, stride=2)
+    x = concat_h(x, stem_pool)
     skips = []
     for i in range(depth):
         p = params[f"enc{i + 1}"]
         x = jax.nn.relu(conv2d(x, p["w"], p["b"], padding="SAME"))
         skips.append(x)
         x = max_pool(x, window=2, stride=2, ceil_mode=True)
-        x = concat_h(x, i + 1)
+        x = concat_h(x, stem_pool + i + 1)
 
     p = params["bottleneck"]
     x = jax.nn.relu(conv2d(x, p["w"], p["b"], padding="SAME"))
@@ -170,6 +204,16 @@ def dae_apply(
         s = s + sk
 
     p = params["out"]
-    logits = conv2d(s, p["w"], p["b"], padding="SAME")
-    logits = crop_to(logits, y.shape[1], y.shape[2]).astype(jnp.float32)
+    s = conv2d(s, p["w"], p["b"], padding="SAME")
+
+    if stem_pool:
+        # upsample the stem scales back to /1 and fuse full-res detail via a
+        # 1x1 score of the raw input map
+        for j in range(stem_pool):
+            s = conv_transpose2d(s, params[f"up_stem{j + 1}"]["w"], stride=2)
+        s = crop_to(s, y.shape[1], y.shape[2])
+        p = params["score_input"]
+        s = s + conv2d(y.astype(s.dtype), p["w"], p["b"], padding="SAME")
+
+    logits = crop_to(s, y.shape[1], y.shape[2]).astype(jnp.float32)
     return jax.nn.softmax(logits, axis=-1)

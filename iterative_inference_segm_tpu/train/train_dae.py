@@ -128,10 +128,14 @@ def train_dae(
     sigma: float = 1.0,
     from_gt: bool = True,
     dae_depth: int = 4,
+    dae_stem_pool: int = 0,
     workdir: str | None = None,
     augment: bool = True,
     normalize: bool = True,
     dae_params=None,
+    resume: bool = True,
+    checkpoint_every: int = 1,
+    corruption_impl: str = "auto",
     epoch_callback: Callable | None = None,
 ) -> dict:
     """Train the conditional DAE against a frozen FCN-8.
@@ -145,7 +149,8 @@ def train_dae(
         key, init_key = jax.random.split(key)
         h_specs = {name: DAE_H_CHANNELS[name] for name in h_taps}
         dae_params = init_dae(
-            init_key, n_classes=dataset.n_classes, h_specs=h_specs, depth=dae_depth
+            init_key, n_classes=dataset.n_classes, h_specs=h_specs,
+            depth=dae_depth, stem_pool=dae_stem_pool,
         )
     tx = make_optimizer(tcfg)
     opt_state = tx.init(dae_params)
@@ -159,6 +164,7 @@ def train_dae(
         augment=augment,
         normalize=normalize,
         dae_depth=dae_depth,
+        corruption_impl=corruption_impl,
     )
 
     def batches(src):
@@ -168,8 +174,25 @@ def train_dae(
     stopper = EarlyStopper(tcfg.patience)
     best_params = dae_params
     history = []
+    start_epoch = 0
 
-    for epoch in range(tcfg.max_epochs):
+    if workdir and resume:
+        from iterative_inference_segm_tpu.utils.checkpoint import latest_step, restore_checkpoint
+
+        ckpt_dir = Path(workdir) / "ckpt"
+        step = latest_step(ckpt_dir)
+        if step is not None:
+            state = restore_checkpoint(
+                ckpt_dir, step, {"params": dae_params, "opt_state": opt_state}
+            )
+            dae_params, opt_state = state["params"], state["opt_state"]
+            history = [h for h in logger.read() if h["step"] <= step] if logger else []
+            for h in history:
+                stopper.update(h["step"], h.get("val_miou", -float("inf")))
+            start_epoch = step + 1
+            best_params = dae_params
+
+    for epoch in range(start_epoch, tcfg.max_epochs):
         losses = []
         for images, labels in batches(train_data):
             key, step_key = jax.random.split(key)
@@ -202,6 +225,13 @@ def train_dae(
             best_params = dae_params
             if workdir:
                 save_npz(Path(workdir) / "best_dae.npz", jax.device_get(best_params))
+        if workdir and checkpoint_every and epoch % checkpoint_every == 0:
+            from iterative_inference_segm_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                Path(workdir) / "ckpt", epoch,
+                {"params": jax.device_get(dae_params), "opt_state": jax.device_get(opt_state)},
+            )
         if stopper.should_stop:
             break
 

@@ -94,12 +94,20 @@ def train_fcn8(
     augment: bool = True,
     normalize: bool = True,
     params=None,
+    resume: bool = True,
+    checkpoint_every: int = 1,
     epoch_callback: Callable | None = None,
 ) -> dict:
     """Train FCN-8; returns {'params', 'best_miou', 'history', 'epochs'}.
 
     Set ``normalize=False`` when batches are already normalized (e.g. the
     native packed-dataset loader applies mean/std on the host).
+
+    With a ``workdir``, (params, opt_state) are orbax-checkpointed every
+    ``checkpoint_every`` epochs and a killed run auto-restores from the
+    latest checkpoint + saved history on restart (``resume=True``) — the
+    rebuild of the reference's error-history + best-params resume scaffold
+    (``[ref: train_fcn8.py]``, SURVEY.md §6).
 
     ``train_data``/``val_data`` are callables returning fresh batch iterators
     (epochs re-iterate), or lists of (images, labels) batches.
@@ -127,8 +135,25 @@ def train_fcn8(
     stopper = EarlyStopper(tcfg.patience)
     best_params = params
     history = []
+    start_epoch = 0
 
-    for epoch in range(tcfg.max_epochs):
+    if workdir and resume:
+        from iterative_inference_segm_tpu.utils.checkpoint import latest_step, restore_checkpoint
+
+        ckpt_dir = Path(workdir) / "ckpt"
+        step = latest_step(ckpt_dir)
+        if step is not None:
+            state = restore_checkpoint(
+                ckpt_dir, step, {"params": params, "opt_state": opt_state}
+            )
+            params, opt_state = state["params"], state["opt_state"]
+            history = [h for h in logger.read() if h["step"] <= step] if logger else []
+            for h in history:
+                stopper.update(h["step"], h.get("val_miou", -float("inf")))
+            start_epoch = step + 1
+            best_params = params
+
+    for epoch in range(start_epoch, tcfg.max_epochs):
         losses = []
         for images, labels in batches(train_data):
             key, step_key = jax.random.split(key)
@@ -160,6 +185,13 @@ def train_fcn8(
             best_params = params
             if workdir:
                 save_npz(Path(workdir) / "best_fcn8.npz", jax.device_get(best_params))
+        if workdir and checkpoint_every and epoch % checkpoint_every == 0:
+            from iterative_inference_segm_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                Path(workdir) / "ckpt", epoch,
+                {"params": jax.device_get(params), "opt_state": jax.device_get(opt_state)},
+            )
         if stopper.should_stop:
             break
 

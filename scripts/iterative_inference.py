@@ -31,6 +31,7 @@ def parse_args(argv=None):
     p.add_argument("--dae-npz", default=None)
     p.add_argument("--concat-h", nargs="*", default=["pool4"])
     p.add_argument("--dae-depth", type=int, default=4)
+    p.add_argument("--dae-stem-pool", type=int, default=0)
     p.add_argument("--epsilon", type=float, default=0.1)
     p.add_argument("--num-steps", type=int, default=5)
     p.add_argument("--mode", default="score", choices=["score", "energy"])
@@ -86,6 +87,7 @@ def main(argv=None) -> int:
         n_classes=cfg.n_classes,
         h_specs=h_specs,
         depth=args.dae_depth,
+        stem_pool=args.dae_stem_pool,
     )
     dae_params = load_npz(args.dae_npz, dae_template) if args.dae_npz else dae_template
 
@@ -124,6 +126,7 @@ def main(argv=None) -> int:
             fcn8_apply, dae_apply, fcn_params, dae_params, val_batches,
             n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,
             h_taps=tuple(args.concat_h), mode=args.mode, renorm=args.renorm,
+            dae_kwargs={"depth": args.dae_depth},
         )
         eps, num_steps = res["best_eps"], res["best_k"]
         print(f"val search: best eps={eps} K={num_steps} (val mIoU {res['best_miou']:.4f})")
@@ -133,6 +136,7 @@ def main(argv=None) -> int:
         fcn8_apply, dae_apply, fcn_params, dae_params,
         eps=eps, num_steps=max(num_steps, 1), h_taps=tuple(args.concat_h),
         mode=args.mode, renorm=args.renorm, compute_dtype=compute_dtype,
+        dae_kwargs={"depth": args.dae_depth},
     )
 
     cm0 = cmk = None

@@ -33,6 +33,8 @@ def parse_args(argv=None):
     p.add_argument("--from-fcn", action="store_true",
                    help="corrupt from frozen-FCN outputs instead of noisy GT")
     p.add_argument("--dae-depth", type=int, default=4)
+    p.add_argument("--dae-stem-pool", type=int, default=0,
+                   help="pool the input map N times before the encoder (TPU latency opt)")
     p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--weight-decay", type=float, default=1e-4)
     p.add_argument("--batch-size", type=int, default=10)
@@ -126,6 +128,7 @@ def main(argv=None) -> int:
         sigma=args.sigma,
         from_gt=not args.from_fcn,
         dae_depth=args.dae_depth,
+        dae_stem_pool=args.dae_stem_pool,
         workdir=workdir,
         augment=not args.no_augment,
         epoch_callback=lambda e, h, _p: print(

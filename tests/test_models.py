@@ -150,3 +150,42 @@ def test_contextmod_differentiable():
     y = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, C)), -1)
     g = jax.grad(lambda yy: jnp.sum(contextmod_apply(params, yy) ** 2))(y)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_dae_stem_pool_variant(fcn_params):
+    from iterative_inference_segm_tpu.models.dae import init_dae as _init, dae_apply as _apply
+
+    x = jnp.zeros((1, H, W, 3))
+    probs, feats = fcn8_apply(fcn_params, x, return_features=("pool4",))
+    params = _init(
+        jax.random.PRNGKey(0), n_classes=C, h_specs={"pool4": 512}, depth=3, stem_pool=1
+    )
+    out = _apply(params, probs, feats, depth=3)
+    assert out.shape == (1, H, W, C)
+    np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, rtol=1e-4)
+
+
+def test_dae_stem_pool_odd_sizes():
+    from iterative_inference_segm_tpu.models.dae import init_dae as _init, dae_apply as _apply
+
+    params = _init(jax.random.PRNGKey(0), n_classes=C, h_specs={}, depth=2, stem_pool=1)
+    y = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(1), (1, 45, 61, C)), -1)
+    out = _apply(params, y, {}, depth=2)
+    assert out.shape == (1, 45, 61, C)
+
+
+def test_dae_stem_pool_grad_flows():
+    from iterative_inference_segm_tpu.models.dae import init_dae as _init, dae_apply as _apply
+
+    params = _init(jax.random.PRNGKey(0), n_classes=C, h_specs={}, depth=2, stem_pool=1)
+    y = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, C)), -1)
+    g = jax.grad(lambda yy: jnp.sum((_apply(params, yy, {}, depth=2) - yy) ** 2))(y)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_dae_stem_rejects_shallow_tap():
+    from iterative_inference_segm_tpu.models.dae import init_dae as _init
+
+    with pytest.raises(ValueError):
+        _init(jax.random.PRNGKey(0), n_classes=C, h_specs={"input": 3}, stem_pool=1)

@@ -1,0 +1,56 @@
+"""Checkpoint/resume: a killed run restarts from the latest epoch state."""
+
+import numpy as np
+import jax
+
+from iterative_inference_segm_tpu.data.synthetic import synthetic_batches
+from iterative_inference_segm_tpu.models import init_fcn8
+from iterative_inference_segm_tpu.train import TrainConfig, train_fcn8, train_dae
+from tests.test_train import TINY
+
+
+def _data():
+    train = list(synthetic_batches(cfg=TINY, batch_size=2, num_batches=2, height=48, width=64, seed=0))
+    val = list(synthetic_batches(cfg=TINY, batch_size=2, num_batches=1, height=48, width=64, seed=9))
+    return train, val
+
+
+def test_fcn8_resume_continues_from_checkpoint(tmp_path):
+    train, val = _data()
+    tcfg2 = TrainConfig(learning_rate=1e-3, max_epochs=2, patience=10, seed=0)
+    tcfg4 = TrainConfig(learning_rate=1e-3, max_epochs=4, patience=10, seed=0)
+
+    # run 2 epochs ("the run dies"), then restart asking for 4
+    r1 = train_fcn8(dataset=TINY, train_data=train, val_data=val, tcfg=tcfg2,
+                    fc_channels=16, workdir=str(tmp_path))
+    assert len(r1["history"]) == 2
+
+    r2 = train_fcn8(dataset=TINY, train_data=train, val_data=val, tcfg=tcfg4,
+                    fc_channels=16, workdir=str(tmp_path))
+    # resumed run executes only epochs 2..3 but reports the merged history
+    epochs_run = [h["epoch"] for h in r2["history"]]
+    assert epochs_run[-1] == 3
+    assert len(epochs_run) == 4  # 2 restored + 2 new
+
+
+def test_fcn8_resume_disabled_restarts(tmp_path):
+    train, val = _data()
+    tcfg = TrainConfig(learning_rate=1e-3, max_epochs=1, patience=10, seed=0)
+    train_fcn8(dataset=TINY, train_data=train, val_data=val, tcfg=tcfg,
+               fc_channels=16, workdir=str(tmp_path))
+    r = train_fcn8(dataset=TINY, train_data=train, val_data=val, tcfg=tcfg,
+                   fc_channels=16, workdir=str(tmp_path), resume=False)
+    assert [h["epoch"] for h in r["history"]] == [0]
+
+
+def test_dae_resume(tmp_path):
+    train, val = _data()
+    fcn = init_fcn8(jax.random.PRNGKey(0), n_classes=TINY.n_classes, fc_channels=16)
+    tcfg1 = TrainConfig(learning_rate=1e-3, max_epochs=1, patience=10, seed=0)
+    tcfg3 = TrainConfig(learning_rate=1e-3, max_epochs=3, patience=10, seed=0)
+    train_dae(fcn_params=fcn, dataset=TINY, train_data=train, val_data=val,
+              tcfg=tcfg1, workdir=str(tmp_path), sigma=0.5)
+    r = train_dae(fcn_params=fcn, dataset=TINY, train_data=train, val_data=val,
+                  tcfg=tcfg3, workdir=str(tmp_path), sigma=0.5)
+    assert [h["epoch"] for h in r["history"]][-1] == 2
+    assert len(r["history"]) == 3
