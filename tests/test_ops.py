@@ -148,3 +148,34 @@ def test_conv2d_bf16_accumulates_f32():
     # max can spike where the 576-term reduction cancels to near zero).
     rel = np.abs(outbf - out32) / (np.abs(out32) + 1.0)
     assert rel.mean() < 1e-2
+
+
+def test_conv_transpose_phase_matches_dilated():
+    # the phase-major (space-to-depth) formulation must be numerically
+    # identical to the input-dilated reference semantics, fwd and grads
+    from iterative_inference_segm_tpu.ops.conv import (
+        _conv_transpose2d_dilated,
+        conv_transpose2d_phase,
+    )
+
+    rng = np.random.default_rng(5)
+    for stride, k in [(2, 4), (8, 16)]:
+        x = jnp.asarray(rng.normal(size=(2, 5, 7, 3)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(k, k, 3, 4)).astype(np.float32))
+        a = _conv_transpose2d_dilated(x, w, stride=stride)
+        b = conv_transpose2d_phase(x, w, stride=stride)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+        ga = jax.grad(lambda xx, ww: jnp.sum(_conv_transpose2d_dilated(xx, ww, stride=stride) ** 2), argnums=(0, 1))(x, w)
+        gb = jax.grad(lambda xx, ww: jnp.sum(conv_transpose2d_phase(xx, ww, stride=stride) ** 2), argnums=(0, 1))(x, w)
+        for u, v in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v), rtol=1e-3, atol=1e-4)
+
+
+def test_conv_transpose_phase_odd_kernel_falls_back():
+    from iterative_inference_segm_tpu.ops.conv import conv_transpose2d_phase
+
+    x = jnp.zeros((1, 4, 4, 2))
+    w = jnp.zeros((3, 3, 2, 2))  # k != 2*stride
+    out = conv_transpose2d_phase(x, w, stride=2)
+    assert out.shape == (1, 8, 8, 2)
