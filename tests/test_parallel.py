@@ -105,3 +105,65 @@ def test_spatial_sharding_forward(cpu_devices):
     x_s = jax.device_put(x, batch_sharding(mesh, 4, spatial_axis="space"))
     out, _ = jax.jit(lambda p, xx: fcn8_apply(p, xx))(params_r, x_s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_shard_map_dp_step_matches_single_device(cpu_devices):
+    """Explicit shard_map+psum DP step == single-device step (same update)."""
+    import optax
+    from iterative_inference_segm_tpu.parallel.dp import make_dp_grad_step, put_dp
+    from iterative_inference_segm_tpu.models.fcn8 import fcn8_logits
+    from iterative_inference_segm_tpu.ops.losses import masked_crossentropy
+
+    mesh = make_mesh(("data",))
+    params = init_fcn8(jax.random.PRNGKey(0), n_classes=C, fc_channels=16)
+    # sgd: updates are linear in grads, so single-device vs shard_map
+    # equivalence is testable at f32 tolerances (adam's rsqrt normalization
+    # amplifies reduction-order noise on near-zero grads)
+    tx = optax.sgd(1e-2)
+    opt_state = tx.init(params)
+    batch = {
+        "images": jax.random.normal(jax.random.PRNGKey(1), (8, 48, 64, 3)),
+        "labels": jax.random.randint(jax.random.PRNGKey(2), (8, 48, 64), 0, C),
+    }
+
+    def loss_fn(p, b, rng):
+        return masked_crossentropy(fcn8_logits(p, b["images"]), b["labels"], n_classes=C)
+
+    # single-device reference update
+    def ref_step(p, o, b):
+        loss, grads = jax.value_and_grad(loss_fn)(p, b, None)
+        updates, o = tx.update(grads, o, p)
+        return jax.tree.map(lambda x, u: x + u, p, updates), o, loss
+
+    p_ref, _, loss_ref = jax.jit(ref_step)(params, opt_state, batch)
+
+    step = make_dp_grad_step(loss_fn, tx, mesh)
+    p_r, o_r, b_r = put_dp(mesh, params, opt_state, batch)
+    p_dp, _, loss_dp = step(p_r, o_r, b_r, None)
+
+    np.testing.assert_allclose(float(loss_dp), float(loss_ref), rtol=1e-5)
+    for a, b2 in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_dp)):
+        np.testing.assert_allclose(np.asarray(b2), np.asarray(a), rtol=2e-3, atol=1e-5)
+
+
+def test_shard_map_dp_psum_actually_averages(cpu_devices):
+    """Different data on each shard -> the update reflects ALL shards."""
+    import optax
+    from iterative_inference_segm_tpu.parallel.dp import make_dp_grad_step, put_dp
+
+    mesh = make_mesh(("data",))
+    params = {"w": jnp.zeros((4,))}
+    tx = optax.sgd(1.0)
+    opt_state = tx.init(params)
+    # per-sample target varies: grad of mean((w - t)^2) = 2*(w - mean(t))
+    targets = jnp.arange(8.0)
+
+    def loss_fn(p, b, rng):
+        return jnp.mean((p["w"][None, :] - b["t"][:, None]) ** 2)
+
+    step = make_dp_grad_step(loss_fn, tx, mesh)
+    p_r, o_r, b_r = put_dp(mesh, params, opt_state, {"t": targets})
+    p_new, _, _ = step(p_r, o_r, b_r, None)
+    # loss means over the 4 w-components too, so grad = 2*(w - mean(t))/4;
+    # sgd(1.0): w <- 0 + 2*3.5/4 = 1.75 — reflecting ALL shards' targets
+    np.testing.assert_allclose(np.asarray(p_new["w"]), 1.75, rtol=1e-5)
