@@ -8,4 +8,5 @@ intermediates in HBM (one-hot maps, noise tensors, softmax logits).
 
 from iterative_inference_segm_tpu.ops.pallas.corruption_kernel import (
     corrupt_onehot_pallas,
+    corrupt_probs_pallas,
 )

@@ -97,6 +97,73 @@ def _corrupt_padded(labels_flat, seed, sigma, *, n_classes: int, interpret: bool
     )(seed, sigma, labels_flat[:, None])
 
 
+def _corrupt_probs_kernel(seed_ref, sigma_ref, probs_ref, out_ref, *, n_classes: int):
+    """softmax(probs + sigma*N(0,1)) — corruption of an existing probability
+    map (the 'natural corruption' regime applies extra noise to frozen-FCN
+    outputs, ``[ref: train_dae.py]``). Same fused structure as the one-hot
+    kernel, but the clean signal is read instead of synthesized."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _LANES), dimension=1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _LANES), dimension=0)
+    pix = pl.program_id(0) * _TILE + row
+    ctr = pix.astype(jnp.uint32) * jnp.uint32(_LANES) + col.astype(jnp.uint32)
+    seed = seed_ref[0].astype(jnp.uint32)
+    b1 = _murmur3_fmix(ctr * jnp.uint32(0x9E3779B9) + seed)
+    b2 = _murmur3_fmix(ctr * jnp.uint32(0x85EBCA77) + (seed ^ jnp.uint32(0xDEADBEEF)))
+    noise = jnp.sqrt(-2.0 * jnp.log(_uniform_from_bits(b1))) * jnp.cos(
+        (2.0 * math.pi) * _uniform_from_bits(b2)
+    )
+    logits = probs_ref[:] + sigma_ref[0] * noise
+    logits = jnp.where(col < n_classes, logits, -jnp.inf)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    e = jnp.exp(logits - m)
+    out_ref[:] = e / jnp.sum(e, axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("n_classes", "interpret"))
+def _corrupt_probs_padded(probs_flat, seed, sigma, *, n_classes: int, interpret: bool):
+    n = probs_flat.shape[0]
+    return pl.pallas_call(
+        functools.partial(_corrupt_probs_kernel, n_classes=n_classes),
+        out_shape=jax.ShapeDtypeStruct((n, _LANES), jnp.float32),
+        grid=(n // _TILE,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TILE, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TILE, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed, sigma, probs_flat)
+
+
+def corrupt_probs_pallas(
+    probs: jax.Array,
+    key: jax.Array,
+    *,
+    sigma: float | jax.Array,
+) -> jax.Array:
+    """Fused softmax(probs + sigma*N(0,1)) over the class axis.
+
+    Drop-in for ``ops.corruption.corrupt_probs`` (different noise stream)."""
+    *lead, n_classes = probs.shape
+    if n_classes > _LANES:
+        raise ValueError(f"n_classes {n_classes} exceeds lane width {_LANES}")
+    n = math.prod(lead)
+    n_pad = -(-n // _TILE) * _TILE
+
+    flat = probs.reshape(n, n_classes).astype(jnp.float32)
+    flat = jnp.pad(flat, ((0, n_pad - n), (0, _LANES - n_classes)))
+
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    seed = (kd[0] ^ (kd[-1] << 7)).astype(jnp.int32).reshape(1)
+    sigma_arr = jnp.asarray(sigma, jnp.float32).reshape(1)
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    out = _corrupt_probs_padded(flat, seed, sigma_arr, n_classes=n_classes, interpret=not on_tpu)
+    out = out[:n, :n_classes]
+    return jax.lax.stop_gradient(out.reshape(*lead, n_classes))
+
+
 def corrupt_onehot_pallas(
     labels: jax.Array,
     key: jax.Array,

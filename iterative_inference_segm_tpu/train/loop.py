@@ -24,6 +24,10 @@ class TrainConfig:
     batch_size: int = 10
     seed: int = 0
     compute_dtype: Any = jnp.float32
+    # rematerialize the forward during backprop (jax.checkpoint): trades
+    # FLOPs for activation memory — lets batch sizes grow toward the MXU-
+    # efficient regime on 16GB v5e chips
+    remat: bool = False
 
 
 class TrainState(NamedTuple):

@@ -74,11 +74,27 @@ def make_dae_train_step(
             return corrupt_onehot(labels, rng, n_classes=cfg.n_classes, sigma=sigma)
         y = probs
         if sigma > 0:
-            y = corrupt_probs(y, rng, sigma=sigma)
+            if corruption_impl == "pallas":
+                from iterative_inference_segm_tpu.ops.pallas import corrupt_probs_pallas
+
+                y = corrupt_probs_pallas(y, rng, sigma=sigma)
+            else:
+                y = corrupt_probs(y, rng, sigma=sigma)
         return y
 
+    apply_fn = dae_apply
+    if tcfg.remat:
+        apply_fn = jax.checkpoint(
+            lambda p, y, hh: dae_apply(p, y, hh, depth=dae_depth, compute_dtype=tcfg.compute_dtype)
+        )
+
     def loss_fn(dae_params, y_tilde, h, labels):
-        recon = dae_apply(dae_params, y_tilde, h, depth=dae_depth, compute_dtype=tcfg.compute_dtype)
+        if tcfg.remat:
+            recon = apply_fn(dae_params, y_tilde, h)
+        else:
+            recon = dae_apply(
+                dae_params, y_tilde, h, depth=dae_depth, compute_dtype=tcfg.compute_dtype
+            )
         return crossentropy_probs(recon, labels, n_classes=cfg.n_classes), recon
 
     @jax.jit

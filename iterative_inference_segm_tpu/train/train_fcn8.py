@@ -44,13 +44,24 @@ def make_fcn8_train_step(
     program — the host only supplies raw uint8/float batches.
     """
 
+    from iterative_inference_segm_tpu.models.fcn8 import fcn8_logits
+
+    logits_fn = fcn8_logits
+    if tcfg.remat:
+        logits_fn = jax.checkpoint(
+            lambda p, x, rng: fcn8_logits(
+                p, x, dropout_rng=rng, compute_dtype=tcfg.compute_dtype
+            )
+        )
+
     def loss_fn(params, images, labels, rng):
         logits_rng, _ = jax.random.split(rng)
-        from iterative_inference_segm_tpu.models.fcn8 import fcn8_logits
-
-        logits = fcn8_logits(
-            params, images, dropout_rng=logits_rng, compute_dtype=tcfg.compute_dtype
-        )
+        if tcfg.remat:
+            logits = logits_fn(params, images, logits_rng)
+        else:
+            logits = fcn8_logits(
+                params, images, dropout_rng=logits_rng, compute_dtype=tcfg.compute_dtype
+            )
         loss = masked_crossentropy(logits, labels, n_classes=cfg.n_classes)
         return loss, logits
 

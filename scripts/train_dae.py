@@ -25,6 +25,8 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", default="camvid", choices=["camvid", "em", "polyps"])
     p.add_argument("--data-root", default=None)
+    p.add_argument("--packed", default=None,
+                   help="directory of <split>.iist files for the native C++ input runtime")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--fcn-npz", default=None, help="frozen FCN-8 weights (flat npz)")
     p.add_argument("--concat-h", nargs="*", default=["pool4"],
@@ -88,7 +90,21 @@ def main(argv=None) -> int:
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
 
-    if args.synthetic or not args.data_root:
+    if args.packed:
+        from iterative_inference_segm_tpu.data.native_loader import NativeDataset
+
+        train_ds = NativeDataset(os.path.join(args.packed, "train.iist"))
+        val_ds = NativeDataset(os.path.join(args.packed, "val.iist"))
+        epoch_counter = {"n": 0}
+
+        def train_data():
+            epoch_counter["n"] += 1
+            return train_ds.batches(
+                args.batch_size, shuffle=True, seed=args.seed + epoch_counter["n"]
+            )
+
+        val_data = lambda: val_ds.batches(args.batch_size)
+    elif args.synthetic or not args.data_root:
         from iterative_inference_segm_tpu.data.synthetic import synthetic_batches
 
         train_data = lambda: synthetic_batches(
@@ -131,6 +147,7 @@ def main(argv=None) -> int:
         dae_stem_pool=args.dae_stem_pool,
         workdir=workdir,
         augment=not args.no_augment,
+        normalize=not args.packed,  # native loader normalizes on the host
         epoch_callback=lambda e, h, _p: print(
             f"epoch {e}: train_loss={h['train_loss']:.4f} val_loss={h['val_loss']:.4f} "
             f"val_miou={h['val_miou']:.4f}",

@@ -118,22 +118,30 @@ def main(argv=None) -> int:
         )
         params = load_npz(args.load_npz, template)
 
-    result = train_fcn8(
-        dataset=cfg,
-        train_data=train_data,
-        val_data=val_data,
-        tcfg=tcfg,
-        fc_channels=fc_channels,
-        workdir=workdir,
-        augment=not args.no_augment,
-        normalize=not args.packed,  # native loader normalizes on the host
-        params=params,
-        epoch_callback=lambda e, h, _p: print(
-            f"epoch {e}: train_loss={h['train_loss']:.4f} val_loss={h['val_loss']:.4f} "
-            f"val_miou={h['val_miou']:.4f}",
-            flush=True,
-        ),
+    import contextlib
+
+    from iterative_inference_segm_tpu.utils import profiling
+
+    trace_cm = (
+        profiling.trace(args.profile_dir) if args.profile_dir else contextlib.nullcontext()
     )
+    with trace_cm:
+        result = train_fcn8(
+            dataset=cfg,
+            train_data=train_data,
+            val_data=val_data,
+            tcfg=tcfg,
+            fc_channels=fc_channels,
+            workdir=workdir,
+            augment=not args.no_augment,
+            normalize=not args.packed,  # native loader normalizes on the host
+            params=params,
+            epoch_callback=lambda e, h, _p: print(
+                f"epoch {e}: train_loss={h['train_loss']:.4f} val_loss={h['val_loss']:.4f} "
+                f"val_miou={h['val_miou']:.4f}",
+                flush=True,
+            ),
+        )
     print(
         f"done: best val mIoU {result['best_miou']:.4f} at epoch {result['best_epoch']} "
         f"({result['epochs']} epochs run); checkpoints in {workdir}"

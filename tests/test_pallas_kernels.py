@@ -65,3 +65,24 @@ def test_pallas_corruption_nonaligned_size():
     out = corrupt_onehot_pallas(labels, jax.random.PRNGKey(2), n_classes=6, sigma=0.5)
     assert out.shape == (1, 30, 17, 6)
     np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, rtol=1e-4)
+
+
+def test_pallas_corrupt_probs_simplex_and_stats():
+    from iterative_inference_segm_tpu.ops.pallas import corrupt_probs_pallas
+    from iterative_inference_segm_tpu.ops.corruption import corrupt_probs
+
+    probs = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 7)), -1)
+    a = corrupt_probs_pallas(probs, jax.random.PRNGKey(1), sigma=0.8)
+    assert a.shape == probs.shape
+    np.testing.assert_allclose(np.asarray(a.sum(-1)), 1.0, rtol=1e-4)
+    b = corrupt_probs(probs, jax.random.PRNGKey(2), sigma=0.8)
+    assert abs(float(a.std()) - float(b.std())) < 1e-2
+
+
+def test_pallas_corrupt_probs_sigma_zero_is_softmax():
+    from iterative_inference_segm_tpu.ops.pallas import corrupt_probs_pallas
+
+    probs = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 5)), -1)
+    out = corrupt_probs_pallas(probs, jax.random.PRNGKey(1), sigma=0.0)
+    expected = jax.nn.softmax(probs, -1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-5, atol=1e-6)

@@ -136,3 +136,18 @@ def test_fcn8_training_with_workdir(tmp_path, train_val):
     )
     assert (tmp_path / "metrics.jsonl").exists()
     assert (tmp_path / "best_fcn8.npz").exists()
+
+
+def test_remat_training_matches_no_remat(train_val):
+    # jax.checkpoint must not change the computed gradients/updates
+    train, val = train_val
+    kwargs = dict(dataset=TINY, train_data=train[:1], val_data=val[:1], fc_channels=16)
+    t0 = TrainConfig(learning_rate=1e-3, weight_decay=0.0, max_epochs=1, patience=5, seed=0)
+    t1 = TrainConfig(learning_rate=1e-3, weight_decay=0.0, max_epochs=1, patience=5, seed=0, remat=True)
+    r0 = train_fcn8(tcfg=t0, **kwargs)
+    r1 = train_fcn8(tcfg=t1, **kwargs)
+    np.testing.assert_allclose(
+        r0["history"][0]["train_loss"], r1["history"][0]["train_loss"], rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(r0["params"]), jax.tree.leaves(r1["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
