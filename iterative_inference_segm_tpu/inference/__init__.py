@@ -6,3 +6,4 @@ from iterative_inference_segm_tpu.inference.iterative import (
     refine_with_trajectory,
 )
 from iterative_inference_segm_tpu.inference.search import grid_search_eps_k
+from iterative_inference_segm_tpu.inference.predictor import Predictor

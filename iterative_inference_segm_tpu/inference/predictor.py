@@ -1,0 +1,125 @@
+"""Serving-facing predictor: checkpoint -> jitted fixed-shape inference.
+
+The reference stops at research scripts; a production rebuild needs a
+deployment entry point. ``Predictor`` wraps frozen FCN-8 (+ optional DAE
+refinement) behind a single object:
+
+* loads weights from flat-npz exports (``utils.checkpoint``) or takes pytrees,
+* compiles ONE fixed-batch XLA program (static shapes; arbitrary request
+  sizes are chunked and zero-padded to the compiled batch),
+* returns integer label maps (+ optionally probabilities).
+
+All compute (FCN forward, K-step refinement scan, argmax) runs in one jitted
+program per chunk.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iterative_inference_segm_tpu.data.config_datasets import DatasetConfig, CAMVID
+from iterative_inference_segm_tpu.data.pipeline import normalize_image
+from iterative_inference_segm_tpu.inference.iterative import refinement_scan
+from iterative_inference_segm_tpu.models import fcn8_apply, dae_apply
+
+
+class Predictor:
+    def __init__(
+        self,
+        fcn_params,
+        dae_params=None,
+        *,
+        dataset: DatasetConfig = CAMVID,
+        eps: float = 0.1,
+        num_steps: int = 5,
+        h_taps: tuple[str, ...] = ("pool4",),
+        mode: str = "score",
+        batch_size: int = 8,
+        compute_dtype=jnp.bfloat16,
+        normalize: bool = True,
+        dae_kwargs: Mapping | None = None,
+    ):
+        self.cfg = dataset
+        self.batch_size = batch_size
+        self._fcn = fcn_params
+        self._dae = dae_params
+        dae_kwargs = dict(dae_kwargs or {})
+        refine = dae_params is not None and num_steps > 0
+
+        def _predict(fcn_params, dae_params, x):
+            if normalize:
+                x = normalize_image(x, dataset)
+            y0, h = fcn8_apply(
+                fcn_params, x, return_features=h_taps if refine else (),
+                compute_dtype=compute_dtype,
+            )
+            y = y0
+            if refine:
+                dae_fn = lambda yy: dae_apply(
+                    dae_params, yy, h, compute_dtype=compute_dtype, **dae_kwargs
+                )
+                y = refinement_scan(dae_fn, y0, eps=eps, num_steps=num_steps, mode=mode)
+            return jnp.argmax(y, axis=-1).astype(jnp.int32), y
+
+        self._predict = jax.jit(_predict)
+
+    @classmethod
+    def from_npz(
+        cls,
+        fcn_npz: str,
+        dae_npz: str | None = None,
+        *,
+        dataset: DatasetConfig = CAMVID,
+        fc_channels: int = 4096,
+        dae_depth: int = 4,
+        dae_stem_pool: int = 0,
+        h_taps: tuple[str, ...] = ("pool4",),
+        **kwargs,
+    ) -> "Predictor":
+        from iterative_inference_segm_tpu.models import init_fcn8, init_dae
+        from iterative_inference_segm_tpu.models.dae import DAE_H_CHANNELS
+        from iterative_inference_segm_tpu.utils.checkpoint import load_npz
+
+        fcn_t = init_fcn8(
+            jax.random.PRNGKey(0), n_classes=dataset.n_classes,
+            in_channels=dataset.in_channels, fc_channels=fc_channels,
+        )
+        fcn = load_npz(fcn_npz, fcn_t)
+        dae = None
+        if dae_npz:
+            dae_t = init_dae(
+                jax.random.PRNGKey(0), n_classes=dataset.n_classes,
+                h_specs={n: DAE_H_CHANNELS[n] for n in h_taps},
+                depth=dae_depth, stem_pool=dae_stem_pool,
+            )
+            dae = load_npz(dae_npz, dae_t)
+        return cls(
+            fcn, dae, dataset=dataset, h_taps=h_taps,
+            dae_kwargs={"depth": dae_depth}, **kwargs,
+        )
+
+    def predict(self, images: np.ndarray, *, return_probs: bool = False):
+        """images: (N, H, W, C) float in [0,1] (or [0,255]). Returns
+        (N, H, W) int32 labels [, (N, H, W, n_classes) f32 probs]."""
+        images = np.asarray(images, np.float32)
+        n = images.shape[0]
+        labels_out = []
+        probs_out = []
+        for start in range(0, n, self.batch_size):
+            chunk = images[start : start + self.batch_size]
+            got = chunk.shape[0]
+            if got < self.batch_size:
+                pad = np.zeros((self.batch_size - got, *chunk.shape[1:]), np.float32)
+                chunk = np.concatenate([chunk, pad])
+            lab, probs = self._predict(self._fcn, self._dae, jnp.asarray(chunk))
+            labels_out.append(np.asarray(lab)[:got])
+            if return_probs:
+                probs_out.append(np.asarray(probs)[:got])
+        labels = np.concatenate(labels_out)
+        if return_probs:
+            return labels, np.concatenate(probs_out)
+        return labels

@@ -34,6 +34,9 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--train-batches", type=int, default=12)
     p.add_argument("--sigma", type=float, default=0.4)
+    p.add_argument("--from-fcn", action="store_true",
+                   help="train the DAE on frozen-FCN outputs (natural corruption) "
+                        "instead of noisy ground truth")
     p.add_argument("--k-max", type=int, default=8)
     p.add_argument("--eps-grid", nargs="*", type=float, default=[0.05, 0.1, 0.2, 0.4])
     p.add_argument("--seed", type=int, default=0)
@@ -73,7 +76,7 @@ def main(argv=None) -> int:
     print("== training DAE (corrupted-GT regime, conditioned on pool4) ==", flush=True)
     tcfg_d = TrainConfig(learning_rate=1e-3, weight_decay=1e-4, max_epochs=args.epochs_dae, patience=100, seed=args.seed)
     rd = train_dae(fcn_params=fcn_params, dataset=cfg, train_data=train, val_data=val,
-                   tcfg=tcfg_d, h_taps=("pool4",), sigma=args.sigma, from_gt=True,
+                   tcfg=tcfg_d, h_taps=("pool4",), sigma=args.sigma, from_gt=not args.from_fcn,
                    epoch_callback=lambda e, h, _: print(f"  dae epoch {e}: loss {h['train_loss']:.3f} val mIoU {h['val_miou']:.3f}", flush=True))
     dae_params = rd["params"]
 
