@@ -45,6 +45,9 @@ def parse_args(argv=None):
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--num-batches", type=int, default=4)
     p.add_argument("--dump-dir", default=None, help="write colorized PNG predictions here")
+    p.add_argument("--dump-trajectory", action="store_true",
+                   help="with --dump-dir: dump every intermediate step y_0..y_K "
+                        "of the first batch (the reference's y_k trajectory dumps)")
     return p.parse_args(argv)
 
 
@@ -138,6 +141,31 @@ def main(argv=None) -> int:
         mode=args.mode, renorm=args.renorm, compute_dtype=compute_dtype,
         dae_kwargs={"depth": args.dae_depth},
     )
+
+    if args.dump_dir and args.dump_trajectory and test_batches:
+        from iterative_inference_segm_tpu.inference.iterative import refine_with_trajectory
+        from iterative_inference_segm_tpu.utils.colorize import save_label_png
+
+        images0, _ = test_batches[0]
+
+        @jax.jit
+        def traj_fn(x):
+            y0, h = fcn8_apply(fcn_params, x, return_features=tuple(args.concat_h),
+                               compute_dtype=compute_dtype)
+            dae_fn = lambda y: dae_apply(dae_params, y, h, depth=args.dae_depth)
+            return refine_with_trajectory(
+                dae_fn, y0, eps=eps, num_steps=max(num_steps, 1),
+                mode=args.mode, renorm=args.renorm,
+            )
+
+        traj = np.asarray(traj_fn(jnp.asarray(images0)).argmax(-1))  # (K+1, B, H, W)
+        os.makedirs(args.dump_dir, exist_ok=True)
+        for k in range(traj.shape[0]):
+            for j in range(traj.shape[1]):
+                save_label_png(
+                    os.path.join(args.dump_dir, f"traj_{j:02d}_step{k:02d}.png"),
+                    traj[k, j], cfg,
+                )
 
     cm0 = cmk = None
     for bi, (images, labels) in enumerate(test_batches):
