@@ -47,6 +47,7 @@ def make_dae_train_step(
     normalize: bool = True,
     dae_depth: int = 4,
     corruption_impl: str = "auto",
+    arch: str = "dae",
 ):
     """Jitted DAE train/eval steps with the frozen FCN inside the program.
 
@@ -82,19 +83,23 @@ def make_dae_train_step(
                 y = corrupt_probs(y, rng, sigma=sigma)
         return y
 
-    apply_fn = dae_apply
-    if tcfg.remat:
-        apply_fn = jax.checkpoint(
-            lambda p, y, hh: dae_apply(p, y, hh, depth=dae_depth, compute_dtype=tcfg.compute_dtype)
+    if arch == "dae":
+        raw_apply = lambda p, y, hh: dae_apply(
+            p, y, hh, depth=dae_depth, compute_dtype=tcfg.compute_dtype
         )
+    elif arch == "contextmod":
+        from iterative_inference_segm_tpu.models.contextmod import contextmod_apply
+
+        raw_apply = lambda p, y, hh: contextmod_apply(
+            p, y, hh, compute_dtype=tcfg.compute_dtype
+        )
+    else:
+        raise ValueError(f"unknown score-network arch {arch!r}")
+
+    apply_fn = jax.checkpoint(raw_apply) if tcfg.remat else raw_apply
 
     def loss_fn(dae_params, y_tilde, h, labels):
-        if tcfg.remat:
-            recon = apply_fn(dae_params, y_tilde, h)
-        else:
-            recon = dae_apply(
-                dae_params, y_tilde, h, depth=dae_depth, compute_dtype=tcfg.compute_dtype
-            )
+        recon = apply_fn(dae_params, y_tilde, h)
         return crossentropy_probs(recon, labels, n_classes=cfg.n_classes), recon
 
     @jax.jit
@@ -145,6 +150,7 @@ def train_dae(
     from_gt: bool = True,
     dae_depth: int = 4,
     dae_stem_pool: int = 0,
+    arch: str = "dae",
     workdir: str | None = None,
     augment: bool = True,
     normalize: bool = True,
@@ -163,11 +169,24 @@ def train_dae(
     key = jax.random.PRNGKey(tcfg.seed)
     if dae_params is None:
         key, init_key = jax.random.split(key)
-        h_specs = {name: DAE_H_CHANNELS[name] for name in h_taps}
-        dae_params = init_dae(
-            init_key, n_classes=dataset.n_classes, h_specs=h_specs,
-            depth=dae_depth, stem_pool=dae_stem_pool,
-        )
+        if arch == "contextmod":
+            from iterative_inference_segm_tpu.models.contextmod import init_contextmod
+
+            bad = [t for t in h_taps if t != "input"]
+            if bad:
+                raise ValueError(
+                    f"contextmod conditions at input scale only; got taps {bad}"
+                )
+            h_ch = DAE_H_CHANNELS["input"] if "input" in h_taps else 0
+            dae_params = init_contextmod(
+                init_key, n_classes=dataset.n_classes, h_channels=h_ch
+            )
+        else:
+            h_specs = {name: DAE_H_CHANNELS[name] for name in h_taps}
+            dae_params = init_dae(
+                init_key, n_classes=dataset.n_classes, h_specs=h_specs,
+                depth=dae_depth, stem_pool=dae_stem_pool,
+            )
     tx = make_optimizer(tcfg)
     opt_state = tx.init(dae_params)
     train_step, eval_step = make_dae_train_step(
@@ -181,6 +200,7 @@ def train_dae(
         normalize=normalize,
         dae_depth=dae_depth,
         corruption_impl=corruption_impl,
+        arch=arch,
     )
 
     def batches(src):

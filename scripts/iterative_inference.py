@@ -32,6 +32,7 @@ def parse_args(argv=None):
     p.add_argument("--concat-h", nargs="*", default=["pool4"])
     p.add_argument("--dae-depth", type=int, default=4)
     p.add_argument("--dae-stem-pool", type=int, default=0)
+    p.add_argument("--arch", default="dae", choices=["dae", "contextmod"])
     p.add_argument("--epsilon", type=float, default=0.1)
     p.add_argument("--num-steps", type=int, default=5)
     p.add_argument("--mode", default="score", choices=["score", "energy"])
@@ -84,14 +85,26 @@ def main(argv=None) -> int:
         key, n_classes=cfg.n_classes, in_channels=cfg.in_channels, fc_channels=fc_channels
     )
     fcn_params = load_npz(args.fcn_npz, fcn_template) if args.fcn_npz else fcn_template
-    h_specs = {name: DAE_H_CHANNELS[name] for name in args.concat_h}
-    dae_template = init_dae(
-        jax.random.PRNGKey(args.seed + 1),
-        n_classes=cfg.n_classes,
-        h_specs=h_specs,
-        depth=args.dae_depth,
-        stem_pool=args.dae_stem_pool,
-    )
+    if args.arch == "contextmod":
+        from iterative_inference_segm_tpu.models import init_contextmod, contextmod_apply
+
+        h_ch = 3 if "input" in args.concat_h else 0
+        dae_template = init_contextmod(
+            jax.random.PRNGKey(args.seed + 1), n_classes=cfg.n_classes, h_channels=h_ch
+        )
+        score_apply = lambda p, y, h, **kw: contextmod_apply(p, y, h)
+        score_kwargs = {}
+    else:
+        h_specs = {name: DAE_H_CHANNELS[name] for name in args.concat_h}
+        dae_template = init_dae(
+            jax.random.PRNGKey(args.seed + 1),
+            n_classes=cfg.n_classes,
+            h_specs=h_specs,
+            depth=args.dae_depth,
+            stem_pool=args.dae_stem_pool,
+        )
+        score_apply = dae_apply
+        score_kwargs = {"depth": args.dae_depth}
     dae_params = load_npz(args.dae_npz, dae_template) if args.dae_npz else dae_template
 
     if args.synthetic or not args.data_root:
@@ -126,20 +139,20 @@ def main(argv=None) -> int:
     eps, num_steps = args.epsilon, args.num_steps
     if args.search:
         res = grid_search_eps_k(
-            fcn8_apply, dae_apply, fcn_params, dae_params, val_batches,
+            fcn8_apply, score_apply, fcn_params, dae_params, val_batches,
             n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,
             h_taps=tuple(args.concat_h), mode=args.mode, renorm=args.renorm,
-            dae_kwargs={"depth": args.dae_depth},
+            dae_kwargs=score_kwargs,
         )
         eps, num_steps = res["best_eps"], res["best_k"]
         print(f"val search: best eps={eps} K={num_steps} (val mIoU {res['best_miou']:.4f})")
 
     compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     refine = make_refiner(
-        fcn8_apply, dae_apply, fcn_params, dae_params,
+        fcn8_apply, score_apply, fcn_params, dae_params,
         eps=eps, num_steps=max(num_steps, 1), h_taps=tuple(args.concat_h),
         mode=args.mode, renorm=args.renorm, compute_dtype=compute_dtype,
-        dae_kwargs={"depth": args.dae_depth},
+        dae_kwargs=score_kwargs,
     )
 
     if args.dump_dir and args.dump_trajectory and test_batches:
@@ -152,7 +165,7 @@ def main(argv=None) -> int:
         def traj_fn(x):
             y0, h = fcn8_apply(fcn_params, x, return_features=tuple(args.concat_h),
                                compute_dtype=compute_dtype)
-            dae_fn = lambda y: dae_apply(dae_params, y, h, depth=args.dae_depth)
+            dae_fn = lambda y: score_apply(dae_params, y, h, **score_kwargs)
             return refine_with_trajectory(
                 dae_fn, y0, eps=eps, num_steps=max(num_steps, 1),
                 mode=args.mode, renorm=args.renorm,

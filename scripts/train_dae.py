@@ -37,6 +37,8 @@ def parse_args(argv=None):
     p.add_argument("--dae-depth", type=int, default=4)
     p.add_argument("--dae-stem-pool", type=int, default=0,
                    help="pool the input map N times before the encoder (TPU latency opt)")
+    p.add_argument("--arch", default="dae", choices=["dae", "contextmod"],
+                   help="score-network architecture (contextmod = dilated context module)")
     p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--weight-decay", type=float, default=1e-4)
     p.add_argument("--batch-size", type=int, default=10)
@@ -145,6 +147,7 @@ def main(argv=None) -> int:
         from_gt=not args.from_fcn,
         dae_depth=args.dae_depth,
         dae_stem_pool=args.dae_stem_pool,
+        arch=args.arch,
         workdir=workdir,
         augment=not args.no_augment,
         normalize=not args.packed,  # native loader normalizes on the host

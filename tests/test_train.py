@@ -151,3 +151,24 @@ def test_remat_training_matches_no_remat(train_val):
     )
     for a, b in zip(jax.tree.leaves(r0["params"]), jax.tree.leaves(r1["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_contextmod_as_score_network(train_val):
+    # the reference's buildDAE_contextmod path: train + eval the dilated
+    # context module as the denoiser
+    train, val = train_val
+    fcn_params = init_fcn8(jax.random.PRNGKey(3), n_classes=TINY.n_classes, fc_channels=16)
+    tcfg = TrainConfig(learning_rate=1e-3, weight_decay=0.0, max_epochs=4, patience=10)
+    r = train_dae(
+        fcn_params=fcn_params,
+        dataset=TINY,
+        train_data=train[:2],
+        val_data=val[:1],
+        tcfg=tcfg,
+        h_taps=(),
+        sigma=0.5,
+        arch="contextmod",
+    )
+    losses = [h["train_loss"] for h in r["history"]]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
