@@ -66,6 +66,10 @@ def conv2d(
         stride = (stride, stride)
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
+    # NOTE: no preferred_element_type here — the TPU MXU accumulates bf16
+    # convs in f32 internally regardless (only the output is rounded), and
+    # requesting an f32 output from bf16 inputs breaks the conv VJP's dtype
+    # matching (cotangent f32 vs weights bf16) under jax.grad.
     out = lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -73,7 +77,6 @@ def conv2d(
         padding=padding,
         rhs_dilation=dilation,
         dimension_numbers=_DIMSPEC,
-        preferred_element_type=accum_dtype,
         precision=_precision_for(x.dtype),
     )
     if b is not None:
@@ -138,7 +141,6 @@ def _conv_transpose2d_dilated(
         padding=padding,
         lhs_dilation=(stride, stride),
         dimension_numbers=_DIMSPEC,
-        preferred_element_type=accum_dtype,
         precision=_precision_for(x.dtype),
     )
     if b is not None:
@@ -204,7 +206,6 @@ def conv_transpose2d_phase(
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=_DIMSPEC,
-        preferred_element_type=accum_dtype,
         precision=_precision_for(x.dtype),
     ).astype(x.dtype)
     out = out.reshape(bsz, h, wd, s, s, cout)

@@ -115,3 +115,32 @@ def test_colorize_labels():
     rgb = colorize_labels(lab, CAMVID)
     np.testing.assert_array_equal(rgb[0, 0], CAMVID.palette[0])
     np.testing.assert_array_equal(rgb[0, 1], CAMVID.palette[11])
+
+
+def test_device_prefetch_order_and_placement():
+    from iterative_inference_segm_tpu.data import device_prefetch
+
+    items = [{"x": np.full((2, 2), i, np.float32)} for i in range(5)]
+    out = list(device_prefetch(items, depth=2))
+    assert len(out) == 5
+    for i, item in enumerate(out):
+        assert isinstance(item["x"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(item["x"]), i)
+
+
+def test_device_prefetch_short_iterator():
+    from iterative_inference_segm_tpu.data import device_prefetch
+
+    out = list(device_prefetch([np.ones(1)], depth=4))
+    assert len(out) == 1
+
+
+def test_device_prefetch_with_sharding(cpu_devices):
+    from iterative_inference_segm_tpu.data import device_prefetch
+    from iterative_inference_segm_tpu.parallel import make_mesh, batch_sharding
+
+    mesh = make_mesh(("data",))
+    sh = batch_sharding(mesh, 2)
+    items = [np.zeros((8, 4), np.float32)] * 2
+    out = list(device_prefetch(items, sharding=sh))
+    assert out[0].sharding == sh

@@ -172,3 +172,19 @@ def test_contextmod_as_score_network(train_val):
     losses = [h["train_loss"] for h in r["history"]]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_bf16_training_step_runs(train_val):
+    # regression: bf16 compute_dtype through the FULL train step (fwd+bwd)
+    # — the conv VJP dtype bug only manifested under grad at bf16
+    train, val = train_val
+    tcfg = TrainConfig(learning_rate=1e-3, max_epochs=1, patience=5,
+                       compute_dtype=jnp.bfloat16)
+    r = train_fcn8(dataset=TINY, train_data=train[:1], val_data=val[:1],
+                   tcfg=tcfg, fc_channels=16)
+    assert np.isfinite(r["history"][0]["train_loss"])
+
+    fcn_params = init_fcn8(jax.random.PRNGKey(0), n_classes=TINY.n_classes, fc_channels=16)
+    r2 = train_dae(fcn_params=fcn_params, dataset=TINY, train_data=train[:1],
+                   val_data=val[:1], tcfg=tcfg, sigma=0.5)
+    assert np.isfinite(r2["history"][0]["train_loss"])
