@@ -38,7 +38,6 @@ def main() -> int:
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from iterative_inference_segm_tpu.models import (
         init_fcn8,

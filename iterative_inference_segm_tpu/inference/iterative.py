@@ -28,7 +28,6 @@ TPU-first design vs. the reference:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Mapping
 
 import jax
@@ -135,6 +134,7 @@ def make_refiner(
     flagship configuration of BASELINE.json configs 2-3.
     """
     dae_kwargs = dict(dae_kwargs or {})
+    dae_kwargs.setdefault("compute_dtype", compute_dtype)
 
     @jax.jit
     def refine(x: jax.Array) -> tuple[jax.Array, jax.Array]:

@@ -119,12 +119,14 @@ def fcn8_apply(
     if "input" in want:
         feats["input"] = h
 
+    pools: dict = {}
     pool_idx = 0
     for item in _VGG:
         if item == "P":
             pool_idx += 1
             h = max_pool(h, window=2, stride=2, ceil_mode=True)
             name = f"pool{pool_idx}"
+            pools[name] = h
             if name in want:
                 feats[name] = h
             continue
@@ -133,12 +135,9 @@ def fcn8_apply(
         h = conv2d(h, p["w"], p["b"], padding="SAME")
         h = jax.nn.relu(h)
 
-    pool3 = feats.get("pool3")
-    pool4 = feats.get("pool4")
-    # The skip fusions always need pool3/pool4 even if the caller didn't ask.
-    # Recompute taps from the loop above if missing: cheapest is to always
-    # record them during the loop, so fetch from the recorded dict.
-    # (They are recorded below via the forced-want mechanism.)
+    # the skip fusions always need pool3/pool4, requested or not
+    pool3 = pools["pool3"]
+    pool4 = pools["pool4"]
 
     # fc6 / fc7 as convolutions.
     p = params["fc6"]
@@ -190,34 +189,6 @@ def fcn8_apply(
     if "probs" in want:
         feats["probs"] = probs
     return probs, feats
-
-
-def _force_taps(return_features: Sequence[str]) -> tuple[str, ...]:
-    """pool3/pool4 are structurally required by the skip fusions."""
-    out = set(return_features)
-    out.update({"pool3", "pool4"})
-    return tuple(out)
-
-
-# Wrap apply so pool3/pool4 are always recorded (needed by the decoder).
-_raw_apply = fcn8_apply
-
-
-def fcn8_apply(params, x, *, return_features=(), dropout_rng=None, dropout_rate=0.5, compute_dtype=jnp.float32):  # noqa: F811
-    probs, feats = _raw_apply(
-        params,
-        x,
-        return_features=_force_taps(return_features),
-        dropout_rng=dropout_rng,
-        dropout_rate=dropout_rate,
-        compute_dtype=compute_dtype,
-    )
-    keep = set(return_features)
-    feats = {k: v for k, v in feats.items() if k in keep}
-    return probs, feats
-
-
-fcn8_apply.__doc__ = _raw_apply.__doc__
 
 
 def fcn8_logits(params: dict, x: jax.Array, *, dropout_rng=None, compute_dtype=jnp.float32) -> jax.Array:

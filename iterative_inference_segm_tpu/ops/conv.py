@@ -19,15 +19,15 @@ Design notes
 * ``crop_to`` reproduces the Caffe/Lasagne center-crop used to align skip
   connections (``[ref: layers/mylayers.py]`` CropLayer).
 
-All functions are pure and jittable; f32 accumulation is forced via
-``preferred_element_type`` so bf16 inputs stay MXU-friendly without losing
-accumulator precision.
+All functions are pure and jittable. bf16 inputs keep full accumulator
+precision on TPU: the MXU accumulates bf16 contractions in f32 internally
+and only rounds the output (no explicit preferred_element_type — that would
+break the conv VJP's dtype matching under jax.grad).
 """
 
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Sequence
 
 import jax
@@ -42,8 +42,8 @@ _DIMSPEC = ("NHWC", "HWIO", "NHWC")
 def _precision_for(dtype):
     """f32 inputs contract at HIGHEST precision (TPU 'default' would silently
     round operands to bf16 — unacceptable on the parity-critical refinement
-    path); bf16 inputs use default (they are already bf16, and accumulation
-    is pinned to f32 via preferred_element_type)."""
+    path); bf16 inputs use default (they are already bf16, and the MXU
+    accumulates in f32 internally)."""
     return lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
 
@@ -55,7 +55,6 @@ def conv2d(
     stride: int | tuple[int, int] = 1,
     padding: str | Sequence[tuple[int, int]] = "SAME",
     dilation: int | tuple[int, int] = 1,
-    accum_dtype=jnp.float32,
 ) -> jax.Array:
     """2-D convolution (cross-correlation), NHWC x HWIO -> NHWC.
 
@@ -90,7 +89,6 @@ def conv_transpose2d(
     b: jax.Array | None = None,
     *,
     stride: int = 2,
-    accum_dtype=jnp.float32,
 ) -> jax.Array:
     """Transposed convolution with output size exactly ``stride * input``.
 
@@ -114,8 +112,8 @@ def conv_transpose2d(
     against.
     """
     if int(w.shape[0]) == 2 * stride and int(w.shape[1]) == 2 * stride:
-        return conv_transpose2d_phase(x, w, b, stride=stride, accum_dtype=accum_dtype)
-    return _conv_transpose2d_dilated(x, w, b, stride=stride, accum_dtype=accum_dtype)
+        return conv_transpose2d_phase(x, w, b, stride=stride)
+    return _conv_transpose2d_dilated(x, w, b, stride=stride)
 
 
 def _conv_transpose2d_dilated(
@@ -124,7 +122,6 @@ def _conv_transpose2d_dilated(
     b: jax.Array | None = None,
     *,
     stride: int = 2,
-    accum_dtype=jnp.float32,
 ) -> jax.Array:
     """Input-dilated (lhs_dilation) transposed conv — the reference path."""
     kh, kw = int(w.shape[0]), int(w.shape[1])
@@ -154,7 +151,6 @@ def conv_transpose2d_phase(
     b: jax.Array | None = None,
     *,
     stride: int = 2,
-    accum_dtype=jnp.float32,
 ) -> jax.Array:
     """``conv_transpose2d`` reformulated as a phase-major conv (TPU-fast).
 
@@ -171,7 +167,7 @@ def conv_transpose2d_phase(
     kh, kw_ = int(w.shape[0]), int(w.shape[1])
     if kh != 2 * stride or kw_ != 2 * stride:
         # general case: fall back to the input-dilated formulation
-        return _conv_transpose2d_dilated(x, w, b, stride=stride, accum_dtype=accum_dtype)
+        return _conv_transpose2d_dilated(x, w, b, stride=stride)
     cin, cout = int(w.shape[2]), int(w.shape[3])
     s = stride
     pad_total = kh + s - 2

@@ -12,7 +12,6 @@ TPU-native equivalent of the NCCL all-reduce a torch DDP rebuild would use
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

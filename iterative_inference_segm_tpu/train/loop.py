@@ -7,7 +7,7 @@ jaccard ... save best params"); here it is factored once.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, NamedTuple
 
 import jax

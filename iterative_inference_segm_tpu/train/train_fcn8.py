@@ -11,13 +11,11 @@ the gradient all-reduce over ICI (see parallel/).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable, Iterable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from iterative_inference_segm_tpu.data.config_datasets import DatasetConfig, CAMVID
 from iterative_inference_segm_tpu.data.pipeline import normalize_image, random_crop_and_flip
@@ -26,7 +24,7 @@ from iterative_inference_segm_tpu.ops.losses import masked_crossentropy
 from iterative_inference_segm_tpu.ops.metrics import confusion_matrix, metrics_from_confusion
 from iterative_inference_segm_tpu.train.loop import TrainConfig, EarlyStopper, make_optimizer
 from iterative_inference_segm_tpu.utils.checkpoint import save_npz
-from iterative_inference_segm_tpu.utils.experiment import MetricLogger, build_experiment_name
+from iterative_inference_segm_tpu.utils.experiment import MetricLogger
 
 
 def make_fcn8_train_step(

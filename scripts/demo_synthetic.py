@@ -37,13 +37,15 @@ def main(argv=None) -> int:
     p.add_argument("--from-fcn", action="store_true",
                    help="train the DAE on frozen-FCN outputs (natural corruption) "
                         "instead of noisy ground truth")
+    p.add_argument("--dae-stem-pool", type=int, default=0)
+    p.add_argument("--dae-depth", type=int, default=4)
     p.add_argument("--k-max", type=int, default=8)
     p.add_argument("--eps-grid", nargs="*", type=float, default=[0.05, 0.1, 0.2, 0.4])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true", help="print one JSON result line")
     args = p.parse_args(argv)
 
-    import jax
+
     import jax.numpy as jnp
 
     from iterative_inference_segm_tpu.data.config_datasets import CAMVID
@@ -77,6 +79,7 @@ def main(argv=None) -> int:
     tcfg_d = TrainConfig(learning_rate=1e-3, weight_decay=1e-4, max_epochs=args.epochs_dae, patience=100, seed=args.seed)
     rd = train_dae(fcn_params=fcn_params, dataset=cfg, train_data=train, val_data=val,
                    tcfg=tcfg_d, h_taps=("pool4",), sigma=args.sigma, from_gt=not args.from_fcn,
+                   dae_depth=args.dae_depth, dae_stem_pool=args.dae_stem_pool,
                    epoch_callback=lambda e, h, _: print(f"  dae epoch {e}: loss {h['train_loss']:.3f} val mIoU {h['val_miou']:.3f}", flush=True))
     dae_params = rd["params"]
 
@@ -87,7 +90,7 @@ def main(argv=None) -> int:
     res = grid_search_eps_k(
         fcn8_apply, dae_apply, fcn_params, dae_params, norm(val),
         n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,
-        h_taps=("pool4",),
+        h_taps=("pool4",), dae_kwargs={"depth": args.dae_depth},
     )
     print(f"  best eps={res['best_eps']} K={res['best_k']} val mIoU {res['best_miou']:.4f}"
           f" (K=0 val mIoU {res['miou'][0, 0]:.4f})", flush=True)
@@ -95,6 +98,7 @@ def main(argv=None) -> int:
     refine = make_refiner(
         fcn8_apply, dae_apply, fcn_params, dae_params,
         eps=res["best_eps"], num_steps=max(res["best_k"], 1), h_taps=("pool4",),
+        dae_kwargs={"depth": args.dae_depth},
     )
     cm0 = cmk = None
     for images, labels in norm(test):
