@@ -31,9 +31,16 @@ def main() -> int:
     p.add_argument("--width", type=int, default=480)
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--fc-channels", type=int, default=4096)
-    p.add_argument("--dae-stem-pool", type=int, default=1,
-                   help="DAE stem pooling levels (0 = classic full-res encoder)")
-    p.add_argument("--dae-depth", type=int, default=3)
+    # Default DAE config = the accuracy-capable one (stem 0, depth 4): it is
+    # the configuration the synthetic accuracy demo shows improving mIoU
+    # (+0.29 over the FCN). Stem pooling (--dae-stem-pool 1 --dae-depth 3)
+    # trades ~20% more throughput for a DAE that cannot beat the FCN
+    # (validation search then selects K=0) — a speed knob, not the flagship.
+    p.add_argument("--dae-stem-pool", type=int, default=0,
+                   help="DAE stem pooling levels (>0 = faster, lower-capacity DAE)")
+    p.add_argument("--dae-depth", type=int, default=4)
+    p.add_argument("--dae-widths", nargs="*", type=int, default=None,
+                   help="encoder channel widths (default from models.dae)")
     args = p.parse_args()
 
     import jax
@@ -62,6 +69,7 @@ def main() -> int:
         h_specs={"pool4": DAE_H_CHANNELS["pool4"]},
         depth=args.dae_depth,
         stem_pool=args.dae_stem_pool,
+        **({"widths": tuple(args.dae_widths)} if args.dae_widths else {}),
     )
 
     @jax.jit

@@ -134,7 +134,10 @@ def init_dae(
     for j in range(stem_pool):
         params[f"up_stem{j + 1}"] = init_conv_transpose_bilinear(4, n_classes, n_classes, dtype=dtype)
     if stem_pool:
-        params["score_input"] = init_conv(next(keys), 1, 1, n_classes, n_classes, dtype=dtype)
+        # 3x3 (not 1x1): the stem discards full-res detail, so this fusion is
+        # the ONLY full-resolution signal path — give it a spatial footprint.
+        # Still cheap: C->C at class width.
+        params["score_input"] = init_conv(next(keys), 3, 3, n_classes, n_classes, dtype=dtype)
     return params
 
 

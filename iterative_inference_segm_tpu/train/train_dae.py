@@ -150,6 +150,7 @@ def train_dae(
     from_gt: bool = True,
     dae_depth: int = 4,
     dae_stem_pool: int = 0,
+    dae_widths: tuple[int, ...] | None = None,
     arch: str = "dae",
     workdir: str | None = None,
     augment: bool = True,
@@ -183,9 +184,10 @@ def train_dae(
             )
         else:
             h_specs = {name: DAE_H_CHANNELS[name] for name in h_taps}
+            extra = {"widths": dae_widths} if dae_widths else {}
             dae_params = init_dae(
                 init_key, n_classes=dataset.n_classes, h_specs=h_specs,
-                depth=dae_depth, stem_pool=dae_stem_pool,
+                depth=dae_depth, stem_pool=dae_stem_pool, **extra,
             )
     tx = make_optimizer(tcfg)
     opt_state = tx.init(dae_params)

@@ -39,6 +39,7 @@ def main(argv=None) -> int:
                         "instead of noisy ground truth")
     p.add_argument("--dae-stem-pool", type=int, default=0)
     p.add_argument("--dae-depth", type=int, default=4)
+    p.add_argument("--dae-widths", nargs="*", type=int, default=None)
     p.add_argument("--k-max", type=int, default=8)
     p.add_argument("--eps-grid", nargs="*", type=float, default=[0.05, 0.1, 0.2, 0.4])
     p.add_argument("--seed", type=int, default=0)
@@ -80,6 +81,7 @@ def main(argv=None) -> int:
     rd = train_dae(fcn_params=fcn_params, dataset=cfg, train_data=train, val_data=val,
                    tcfg=tcfg_d, h_taps=("pool4",), sigma=args.sigma, from_gt=not args.from_fcn,
                    dae_depth=args.dae_depth, dae_stem_pool=args.dae_stem_pool,
+                   dae_widths=tuple(args.dae_widths) if args.dae_widths else None,
                    epoch_callback=lambda e, h, _: print(f"  dae epoch {e}: loss {h['train_loss']:.3f} val mIoU {h['val_miou']:.3f}", flush=True))
     dae_params = rd["params"]
 
