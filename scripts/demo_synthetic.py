@@ -26,22 +26,24 @@ import numpy as np
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--epochs-fcn", type=int, default=12)
-    p.add_argument("--epochs-dae", type=int, default=10)
+    p.add_argument("--epochs-fcn", type=int, default=3)
+    p.add_argument("--epochs-dae", type=int, default=16)
     p.add_argument("--height", type=int, default=96)
     p.add_argument("--width", type=int, default=128)
     p.add_argument("--fc-channels", type=int, default=64)
-    p.add_argument("--batch-size", type=int, default=8)
-    p.add_argument("--train-batches", type=int, default=12)
-    p.add_argument("--sigma", type=float, default=0.4)
-    p.add_argument("--from-fcn", action="store_true",
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--train-batches", type=int, default=16)
+    p.add_argument("--sigma", type=float, default=0.0)
+    p.add_argument("--from-fcn", action="store_true", default=True,
                    help="train the DAE on frozen-FCN outputs (natural corruption) "
                         "instead of noisy ground truth")
     p.add_argument("--dae-stem-pool", type=int, default=0)
     p.add_argument("--dae-depth", type=int, default=4)
     p.add_argument("--dae-widths", nargs="*", type=int, default=None)
     p.add_argument("--k-max", type=int, default=8)
-    p.add_argument("--eps-grid", nargs="*", type=float, default=[0.05, 0.1, 0.2, 0.4])
+    p.add_argument("--eps-grid", nargs="*", type=float, default=[0.05, 0.1, 0.2, 0.4, 0.7, 1.0])
+    p.add_argument("--from-gt", dest="from_fcn", action="store_false",
+                   help="train the DAE on noisy ground truth instead")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true", help="print one JSON result line")
     args = p.parse_args(argv)

@@ -144,3 +144,26 @@ def test_end_to_end_refiner_runs_and_is_single_program():
     lowered = jax.jit(lambda xx: refine(xx)).lower(x)
     text = lowered.as_text()
     assert "while" in text  # lax.scan lowers to a single while loop in HLO
+
+
+def test_refinement_improves_miou_with_oracle_denoiser():
+    """Capability guarantee, decoupled from training noise: given a score
+    network that contracts toward the ground truth (an oracle denoiser),
+    K refinement steps must strictly improve mIoU over the noisy y0."""
+    from iterative_inference_segm_tpu.ops.corruption import corrupt_onehot
+    from iterative_inference_segm_tpu.ops.metrics import jaccard
+
+    n_classes = 6
+    labels = jax.random.randint(jax.random.PRNGKey(0), (2, 24, 32), 0, n_classes)
+    gt = jax.nn.one_hot(labels, n_classes)
+    # heavily corrupted starting point (argmax agreement well below 1)
+    y0 = corrupt_onehot(labels, jax.random.PRNGKey(1), n_classes=n_classes, sigma=2.0)
+
+    oracle = lambda y: 0.5 * y + 0.5 * gt
+    yk = refinement_scan(oracle, y0, eps=0.5, num_steps=6, mode="score")
+
+    m0 = jaccard(jnp.argmax(y0, -1), labels, n_classes=n_classes)
+    mk = jaccard(jnp.argmax(yk, -1), labels, n_classes=n_classes)
+    assert float(m0.mean_iou) < 0.9  # corruption actually hurt
+    assert float(mk.mean_iou) > float(m0.mean_iou) + 0.05
+    assert float(mk.mean_iou) > 0.95  # converged close to the oracle target
