@@ -28,6 +28,13 @@ shape rather than a heavy U-Net):
 Ceil-mode pooling matches the FCN-8 encoder exactly, so ``h`` taps align
 shape-for-shape at every scale (360x480 -> 23x30 at /16).
 
+On tied weights: the reference's ``buildDAE`` exposes a tied/untied choice
+for its mirrored conv/unpool decoder (classic-DAE weight tying,
+W_dec = W_enc^T). This rebuild's decoder is deliberately NOT a mirror — it
+is an FCN-style score-fusion chain (1x1 projections + class-width deconvs),
+so there is no transpose-shaped decoder weight to tie; all weights are
+untied/learned, which is also the reference's default.
+
 The whole function is differentiable in ``y`` — the iterative-inference
 engine takes ``jax.vjp``/``jax.grad`` through it, as the reference does via
 ``T.grad`` (``[ref: iterative_inference.py]``).

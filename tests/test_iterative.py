@@ -167,3 +167,16 @@ def test_refinement_improves_miou_with_oracle_denoiser():
     assert float(m0.mean_iou) < 0.9  # corruption actually hurt
     assert float(mk.mean_iou) > float(m0.mean_iou) + 0.05
     assert float(mk.mean_iou) > 0.95  # converged close to the oracle target
+
+
+def test_full_refiner_odd_image_sizes():
+    # CamVid-like odd spatial sizes through FCN + DAE + scan end-to-end
+    fcn = init_fcn8(jax.random.PRNGKey(0), n_classes=C, fc_channels=16)
+    dae = init_dae(jax.random.PRNGKey(1), n_classes=C, h_specs={"pool4": 512})
+    refine = make_refiner(
+        fcn8_apply, dae_apply, fcn, dae, eps=0.1, num_steps=2, h_taps=("pool4",)
+    )
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 45, 61, 3))
+    y0, yk = refine(x)
+    assert yk.shape == (1, 45, 61, C)
+    np.testing.assert_allclose(np.asarray(yk.sum(-1)), 1.0, rtol=1e-3)
