@@ -8,7 +8,9 @@ reference exposes via its ``noise`` / ``from_gt`` flags:
 * ``from_gt=True``  : input = softmax(one_hot(y_gt) + sigma*N(0,1))
                       (GaussianNoiseLayerSoftmax corruption),
 * ``from_gt=False`` : input = frozen-FCN softmax output ("natural" corruption),
-                      optionally with additional Gaussian-softmax noise.
+                      optionally with additional Gaussian-softmax noise,
+* ``from_gt=p`` (float): per-batch mix of the two regimes with probability
+  ``p`` of the noisy-GT source — the reference's third option.
 
 Loss: void-masked crossentropy of the DAE output vs the clean ground truth.
 The frozen FCN-8 forward (producing both h and y_hat) runs inside the same
@@ -42,7 +44,7 @@ def make_dae_train_step(
     *,
     h_taps: tuple[str, ...],
     sigma: float,
-    from_gt: bool,
+    from_gt: bool | float,
     augment: bool = True,
     normalize: bool = True,
     dae_depth: int = 4,
@@ -55,6 +57,11 @@ def make_dae_train_step(
     are runtime inputs — closing over them would bake ~500MB of VGG weights
     into the executable as constants.
 
+    ``from_gt`` selects the corruption source (``[ref: train_dae.py]``
+    supports noisy ground truth, frozen-FCN outputs, or a mix): True/False
+    pick one regime; a float in (0, 1) mixes them — each batch draws the
+    noisy-GT regime with that probability.
+
     ``corruption_impl``: 'pallas' (fused single-pass TPU kernel), 'jax'
     (pure-jax oracle), or 'auto' (pallas on TPU, jax elsewhere). The two
     draw different (same-distribution) noise streams.
@@ -63,16 +70,18 @@ def make_dae_train_step(
         corruption_impl = "pallas" if jax.devices()[0].platform == "tpu" else "jax"
     if corruption_impl not in ("pallas", "jax"):
         raise ValueError(f"unknown corruption_impl {corruption_impl!r}")
+    p_gt = float(from_gt)
+    if not 0.0 <= p_gt <= 1.0:
+        raise ValueError(f"from_gt must be bool or in [0,1], got {from_gt}")
 
-    def corrupted_input(labels, probs, rng):
-        if from_gt:
-            if corruption_impl == "pallas":
-                from iterative_inference_segm_tpu.ops.pallas import corrupt_onehot_pallas
+    def gt_corrupted(labels, rng):
+        if corruption_impl == "pallas":
+            from iterative_inference_segm_tpu.ops.pallas import corrupt_onehot_pallas
 
-                return corrupt_onehot_pallas(
-                    labels, rng, n_classes=cfg.n_classes, sigma=sigma
-                )
-            return corrupt_onehot(labels, rng, n_classes=cfg.n_classes, sigma=sigma)
+            return corrupt_onehot_pallas(labels, rng, n_classes=cfg.n_classes, sigma=sigma)
+        return corrupt_onehot(labels, rng, n_classes=cfg.n_classes, sigma=sigma)
+
+    def fcn_corrupted(probs, rng):
         y = probs
         if sigma > 0:
             if corruption_impl == "pallas":
@@ -82,6 +91,19 @@ def make_dae_train_step(
             else:
                 y = corrupt_probs(y, rng, sigma=sigma)
         return y
+
+    def corrupted_input(labels, probs, rng):
+        if p_gt >= 1.0:
+            return gt_corrupted(labels, rng)
+        if p_gt <= 0.0:
+            return fcn_corrupted(probs, rng)
+        # mixed regime: per-batch coin flip (both branches are cheap relative
+        # to the train step; jnp.where keeps the program branch-free)
+        mix_rng, noise_rng = jax.random.split(rng)
+        take_gt = jax.random.bernoulli(mix_rng, p_gt)
+        return jnp.where(
+            take_gt, gt_corrupted(labels, noise_rng), fcn_corrupted(probs, noise_rng)
+        )
 
     if arch == "dae":
         raw_apply = lambda p, y, hh: dae_apply(
@@ -147,7 +169,7 @@ def train_dae(
     tcfg: TrainConfig | None = None,
     h_taps: tuple[str, ...] = ("pool4",),
     sigma: float = 1.0,
-    from_gt: bool = True,
+    from_gt: bool | float = True,
     dae_depth: int = 4,
     dae_stem_pool: int = 0,
     dae_widths: tuple[int, ...] | None = None,

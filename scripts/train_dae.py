@@ -34,6 +34,9 @@ def parse_args(argv=None):
     p.add_argument("--sigma", type=float, default=1.0, help="corruption noise level")
     p.add_argument("--from-fcn", action="store_true",
                    help="corrupt from frozen-FCN outputs instead of noisy GT")
+    p.add_argument("--gt-mix", type=float, default=None,
+                   help="mixed regime: probability of the noisy-GT corruption per batch "
+                        "(overrides --from-fcn)")
     p.add_argument("--dae-depth", type=int, default=4)
     p.add_argument("--dae-stem-pool", type=int, default=0,
                    help="pool the input map N times before the encoder (TPU latency opt)")
@@ -144,7 +147,7 @@ def main(argv=None) -> int:
         tcfg=tcfg,
         h_taps=tuple(args.concat_h),
         sigma=args.sigma,
-        from_gt=not args.from_fcn,
+        from_gt=args.gt_mix if args.gt_mix is not None else (not args.from_fcn),
         dae_depth=args.dae_depth,
         dae_stem_pool=args.dae_stem_pool,
         arch=args.arch,

@@ -188,3 +188,28 @@ def test_bf16_training_step_runs(train_val):
     r2 = train_dae(fcn_params=fcn_params, dataset=TINY, train_data=train[:1],
                    val_data=val[:1], tcfg=tcfg, sigma=0.5)
     assert np.isfinite(r2["history"][0]["train_loss"])
+
+
+def test_dae_training_mixed_corruption(train_val):
+    # the reference's third corruption option: a MIX of noisy-GT and
+    # frozen-FCN inputs, drawn per batch
+    train, val = train_val
+    fcn_params = init_fcn8(jax.random.PRNGKey(5), n_classes=TINY.n_classes, fc_channels=16)
+    tcfg = TrainConfig(learning_rate=1e-3, max_epochs=2, patience=10)
+    r = train_dae(
+        fcn_params=fcn_params, dataset=TINY,
+        train_data=train[:2], val_data=val[:1],
+        tcfg=tcfg, sigma=0.5, from_gt=0.5,
+    )
+    assert np.isfinite([h["train_loss"] for h in r["history"]]).all()
+
+
+def test_dae_from_gt_validation():
+    import pytest as _pytest
+    from iterative_inference_segm_tpu.train.train_dae import make_dae_train_step
+    from iterative_inference_segm_tpu.train.loop import make_optimizer
+
+    tcfg = TrainConfig()
+    with _pytest.raises(ValueError):
+        make_dae_train_step(TINY, tcfg, make_optimizer(tcfg),
+                            h_taps=(), sigma=0.5, from_gt=1.5)
