@@ -10,15 +10,25 @@ single on-chip ``lax.scan``. ``vs_baseline`` is the ratio against the
 north-star target of 1000 images/sec/chip (BASELINE.json:5).
 
 Usage: python bench.py [--batch N] [--steps K] [--iters I] [--height H]
-                       [--width W] [--dtype bf16|f32]
+                       [--width W] [--dtype bf16|f32] [--check]
+
+``--check`` turns the run into a perf gate: exit 1 if vs_baseline falls
+below PERF_FLOOR. The floor ratchets up as rounds land improvements so a
+throughput regression can never land silently (VERDICT r1 weak #2). Every
+run also appends its JSON line to BENCH_HISTORY.jsonl.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# Ratchet: round 1 measured 0.512x; round 2 landed the fused-tail/bf16-state
+# refinement work. Raise this whenever a round's bench beats it with margin.
+PERF_FLOOR = 0.5
 
 
 def main() -> int:
@@ -40,6 +50,10 @@ def main() -> int:
     p.add_argument("--dae-depth", type=int, default=3)
     p.add_argument("--dae-widths", nargs="*", type=int, default=None,
                    help="encoder channel widths (default from models.dae)")
+    p.add_argument("--check", action="store_true",
+                   help=f"exit 1 if vs_baseline < {PERF_FLOOR} (perf gate)")
+    p.add_argument("--no-history", action="store_true",
+                   help="skip appending to BENCH_HISTORY.jsonl")
     args = p.parse_args()
 
     import jax
@@ -114,17 +128,24 @@ def main() -> int:
     best = min(timed_block() for _ in range(3))
     imgs_per_sec = args.batch / best
     target = 1000.0
-    print(
-        json.dumps(
-            {
-                "metric": f"images/sec/chip (FCN-8 + {args.steps}-step DAE refine, "
-                f"{args.height}x{args.width}, {args.dtype}, batch={args.batch})",
-                "value": round(imgs_per_sec, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(imgs_per_sec / target, 4),
-            }
+    result = {
+        "metric": f"images/sec/chip (FCN-8 + {args.steps}-step DAE refine, "
+        f"{args.height}x{args.width}, {args.dtype}, batch={args.batch})",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / target, 4),
+    }
+    print(json.dumps(result))
+    if not args.no_history:
+        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
+        with open(hist, "a") as f:
+            f.write(json.dumps(result) + "\n")
+    if args.check and result["vs_baseline"] < PERF_FLOOR:
+        print(
+            f"PERF GATE FAILED: vs_baseline {result['vs_baseline']} < floor {PERF_FLOOR}",
+            file=sys.stderr,
         )
-    )
+        return 1
     return 0
 
 

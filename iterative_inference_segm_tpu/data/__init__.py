@@ -15,4 +15,5 @@ from iterative_inference_segm_tpu.data.pipeline import (
     eval_preprocess,
 )
 from iterative_inference_segm_tpu.data.camvid import load_split, iterate_split
+from iterative_inference_segm_tpu.data.loaders import load_dataset_split
 from iterative_inference_segm_tpu.data.prefetch import device_prefetch

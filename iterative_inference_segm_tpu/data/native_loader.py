@@ -78,7 +78,17 @@ def pack_dataset(
         raise ValueError("at most 4 channels supported by the packed format")
     if images.dtype != np.uint8:
         images = np.clip(np.asarray(images, np.float32) * 255.0 + 0.5, 0, 255).astype(np.uint8)
-    labels_u8 = np.clip(labels, 0, 255).astype(np.uint8)
+    # Labels outside the in-class range are void markers (losses/metrics treat
+    # anything >= n_classes as void). Datasets commonly encode void as -1 or
+    # 255; both must land on cfg.void_label, NOT be clipped onto class 0 —
+    # clipping would silently train/evaluate class 0 on void pixels.
+    labels = np.asarray(labels).astype(np.int64)
+    labels = np.where(
+        (labels < 0) | (labels >= cfg.n_classes), cfg.void_label, labels
+    )
+    if not 0 <= cfg.void_label <= 255:
+        raise ValueError(f"void_label {cfg.void_label} not storable as uint8")
+    labels_u8 = labels.astype(np.uint8)
 
     mean = list(cfg.mean) + [0.0] * (4 - len(cfg.mean))
     std = list(cfg.std) + [1.0] * (4 - len(cfg.std))

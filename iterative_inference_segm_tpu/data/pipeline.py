@@ -14,11 +14,21 @@ import jax.numpy as jnp
 from iterative_inference_segm_tpu.data.config_datasets import DatasetConfig
 
 
-def normalize_image(x: jax.Array, cfg: DatasetConfig) -> jax.Array:
-    """(x/255 - mean) / std with per-dataset statistics; any float dtype in,
-    f32 out. Accepts [0,255] or already-[0,1] input (scales only if needed)."""
+def normalize_image(
+    x: jax.Array, cfg: DatasetConfig, *, input_scale: float = 1.0
+) -> jax.Array:
+    """(x/input_scale - mean) / std with per-dataset statistics; any float
+    dtype in, f32 out.
+
+    ``input_scale`` declares the input encoding explicitly: 1.0 (default) for
+    the repo-wide [0,1] convention (every in-repo loader emits [0,1] f32),
+    255.0 for raw byte-range input. The encoding is a property of the data
+    source, never inferred from batch content — a data-dependent guess would
+    normalize a genuinely dark [0,255] image differently from its batch-mates.
+    """
     x = x.astype(jnp.float32)
-    x = jnp.where(jnp.max(x) > 2.0, x / 255.0, x)  # tolerate both encodings
+    if input_scale != 1.0:
+        x = x / jnp.float32(input_scale)
     mean = jnp.asarray(cfg.mean, jnp.float32)
     std = jnp.asarray(cfg.std, jnp.float32)
     return (x - mean) / std

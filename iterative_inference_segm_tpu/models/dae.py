@@ -48,9 +48,13 @@ import jax
 import jax.numpy as jnp
 
 from iterative_inference_segm_tpu.ops.conv import (
+    bilinear_kernel_depthwise,
     conv2d,
+    conv2d_depthwise,
     conv_transpose2d,
+    conv_transpose2d_depthwise,
     crop_to,
+    delta_kernel_depthwise,
     init_conv,
     init_conv_transpose_bilinear,
     max_pool,
@@ -82,6 +86,7 @@ def init_dae(
     depth: int = 4,
     widths: tuple[int, ...] = DEFAULT_WIDTHS,
     stem_pool: int = 0,
+    tail: str = "full",
     dtype=jnp.float32,
 ) -> dict:
     """Initialize the DAE param pytree.
@@ -98,7 +103,23 @@ def init_dae(
     optimization for the refinement loop (full-res small-channel convs are
     the dominant cost of a DAE step on v5e); stem_pool=0 keeps the classic
     layout. Encoder stage i then sits at scale /2^(stem_pool+i).
+
+    ``tail`` selects how the stem_pool=1 variant returns to full resolution:
+
+    * ``'full'`` — dense 4x4 CxC transposed conv + dense 3x3 CxC
+      score_input (the round-1 layout).
+    * ``'sep'``  — separable: DEPTHWISE 4x4 bilinear-init upsampler +
+      depthwise 3x3 on the raw map + one shared 1x1 channel mix. Same
+      expressive role, but every full-res op is per-channel, which is what
+      the fused Pallas refinement-step kernel (ops/pallas/refine_tail_kernel)
+      needs to run the tail entirely on the VPU in one VMEM pass with
+      classes on sublanes. Init: bilinear up + identity passthrough + identity
+      mix, so step 0 of training already computes logits = up(s) + y.
     """
+    if tail not in ("full", "sep"):
+        raise ValueError(f"unknown tail {tail!r}; expected 'full' or 'sep'")
+    if tail == "sep" and stem_pool != 1:
+        raise ValueError("tail='sep' is defined for stem_pool=1 (the flagship layout)")
     if h_specs is None:
         h_specs = {"pool4": DAE_H_CHANNELS["pool4"]}
     for name in h_specs:
@@ -138,6 +159,12 @@ def init_dae(
         params[f"up{i + 1}"] = init_conv_transpose_bilinear(4, n_classes, n_classes, dtype=dtype)
         params[f"score_enc{i + 1}"] = init_conv(next(keys), 1, 1, widths[i], n_classes, dtype=dtype)
     params["out"] = init_conv(next(keys), 1, 1, n_classes, n_classes, dtype=dtype)
+    if tail == "sep":
+        eye = jnp.eye(n_classes, dtype=dtype)[None, None]
+        params["up_stem_dw"] = {"w": bilinear_kernel_depthwise(4, n_classes, dtype=dtype)}
+        params["score_input_dw"] = {"w": delta_kernel_depthwise(3, n_classes, dtype=dtype)}
+        params["mix"] = {"w": eye, "b": jnp.zeros((n_classes,), dtype=dtype)}
+        return params
     for j in range(stem_pool):
         params[f"up_stem{j + 1}"] = init_conv_transpose_bilinear(4, n_classes, n_classes, dtype=dtype)
     if stem_pool:
@@ -148,24 +175,34 @@ def init_dae(
     return params
 
 
-def dae_apply(
+def dae_stem_pool_of(params: dict) -> int:
+    """Number of stem pooling levels encoded in a param tree."""
+    if "up_stem_dw" in params:
+        return 1
+    return sum(1 for k in params if k.startswith("up_stem"))
+
+
+def dae_tail_of(params: dict) -> str:
+    return "sep" if "up_stem_dw" in params else "full"
+
+
+def dae_core(
     params: dict,
-    y: jax.Array,
+    x: jax.Array,
     h: Mapping[str, jax.Array] | None = None,
     *,
     depth: int = 4,
-    compute_dtype=jnp.float32,
+    stem_pool: int | None = None,
 ) -> jax.Array:
-    """DAE forward: corrupted probability map (+ conditioning) -> denoised map.
+    """Encoder + decoder on the (post-stem) map: x at /2^stem_pool -> score
+    map s at the same scale (after the 'out' 1x1).
 
-    y: (B, H, W, C) probability map; h: dict of FCN-8 feature taps.
-    Returns (B, H, W, C) softmax probabilities at the input resolution.
-    The stem configuration is inferred from the params (presence of
-    ``up_stem*`` entries), so the same apply serves both layouts.
+    Factored out of ``dae_apply`` so the fused phase-major refinement engine
+    (inference/fused.py) can run exactly this mid-res core between Pallas
+    tail steps. ``x`` must already be at compute dtype.
     """
-    from iterative_inference_segm_tpu.ops.conv import avg_pool
-
-    stem_pool = sum(1 for k in params if k.startswith("up_stem"))
+    if stem_pool is None:
+        stem_pool = dae_stem_pool_of(params)
     h = dict(h or {})
     by_scale: dict[int, list[jax.Array]] = {}
     for name, v in h.items():
@@ -179,15 +216,6 @@ def dae_apply(
             x = jnp.concatenate([x, v], axis=-1)
         return x
 
-    x = y.astype(compute_dtype)
-    for _ in range(stem_pool):
-        # avg (not max) pooling on the stem: the input is a probability map
-        # and the pooled map should stay a smoothed distribution. Edge-pad to
-        # even so the decoder's x2 chain can always be cropped back down.
-        ph, pw = x.shape[1] % 2, x.shape[2] % 2
-        if ph or pw:
-            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-        x = avg_pool(x, window=2, stride=2)
     x = concat_h(x, stem_pool)
     skips = []
     for i in range(depth):
@@ -214,9 +242,57 @@ def dae_apply(
         s = s + sk
 
     p = params["out"]
-    s = conv2d(s, p["w"], p["b"], padding="SAME")
+    return conv2d(s, p["w"], p["b"], padding="SAME")
 
-    if stem_pool:
+
+def dae_septail_logits(params: dict, s: jax.Array, y: jax.Array) -> jax.Array:
+    """Separable tail, XLA composition: logits = mix(up_dw(s) + dw3x3(y)) + b.
+
+    ``s`` is the half-res score map from ``dae_core``; ``y`` the full-res
+    input probability map (already at compute dtype). Differentiable — this
+    is the path DAE training and energy mode use; the score-mode inference
+    hot loop runs the same math fused in ops/pallas/refine_tail_kernel.
+    """
+    u = conv_transpose2d_depthwise(s, params["up_stem_dw"]["w"], stride=2)
+    u = crop_to(u, y.shape[1], y.shape[2])
+    d = conv2d_depthwise(y, params["score_input_dw"]["w"], padding="SAME")
+    p = params["mix"]
+    return conv2d(u + d, p["w"], p["b"], padding="SAME")
+
+
+def dae_apply(
+    params: dict,
+    y: jax.Array,
+    h: Mapping[str, jax.Array] | None = None,
+    *,
+    depth: int = 4,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """DAE forward: corrupted probability map (+ conditioning) -> denoised map.
+
+    y: (B, H, W, C) probability map; h: dict of FCN-8 feature taps.
+    Returns (B, H, W, C) softmax probabilities at the input resolution.
+    The stem/tail configuration is inferred from the params (presence of
+    ``up_stem*`` / ``up_stem_dw`` entries), so one apply serves all layouts.
+    """
+    from iterative_inference_segm_tpu.ops.conv import avg_pool
+
+    stem_pool = dae_stem_pool_of(params)
+    x = y.astype(compute_dtype)
+    for _ in range(stem_pool):
+        # avg (not max) pooling on the stem: the input is a probability map
+        # and the pooled map should stay a smoothed distribution. Edge-pad to
+        # even so the decoder's x2 chain can always be cropped back down.
+        ph, pw = x.shape[1] % 2, x.shape[2] % 2
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        x = avg_pool(x, window=2, stride=2)
+
+    s = dae_core(params, x, h, depth=depth, stem_pool=stem_pool)
+
+    if dae_tail_of(params) == "sep":
+        s = dae_septail_logits(params, s, y.astype(s.dtype))
+    elif stem_pool:
         # upsample the stem scales back to /1 and fuse full-res detail via a
         # 1x1 score of the raw input map
         for j in range(stem_pool):

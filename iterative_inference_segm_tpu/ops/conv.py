@@ -211,6 +211,77 @@ def conv_transpose2d_phase(
     return out
 
 
+def conv2d_depthwise(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    padding: str | Sequence[tuple[int, int]] = "SAME",
+) -> jax.Array:
+    """Depthwise 2-D convolution: w is (kh, kw, C) applied per channel.
+
+    Used by the separable refinement tail (see models/dae.py 'sep' tail):
+    spatial filtering stays per-channel so the full-res work is VPU-cheap;
+    channel mixing happens once in a following 1x1. Lowered via
+    ``feature_group_count`` so XLA differentiates it for training; the
+    inference hot path fuses it into the Pallas tail kernel instead.
+    """
+    c = x.shape[-1]
+    if w.ndim != 3 or int(w.shape[2]) != c:
+        raise ValueError(f"depthwise weight (kh,kw,C) expected, got {w.shape} for C={c}")
+    out = lax.conv_general_dilated(
+        x,
+        w[:, :, None, :].astype(x.dtype),  # (kh, kw, 1, C): one filter per group
+        window_strides=(1, 1),
+        padding=padding,
+        dimension_numbers=_DIMSPEC,
+        feature_group_count=c,
+        precision=_precision_for(x.dtype),
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out.astype(x.dtype)
+
+
+def conv_transpose2d_depthwise(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride: int = 2,
+) -> jax.Array:
+    """Depthwise transposed conv: w (kh, kw, C), out = stride * in spatially.
+
+    Same padding convention as ``conv_transpose2d`` (k + s - 2 split
+    symmetrically), restricted to one filter per channel — the separable
+    tail's upsampler (bilinear interpolation is depthwise by nature, so this
+    loses nothing at init and learns per-channel taps).
+    """
+    c = x.shape[-1]
+    if w.ndim != 3 or int(w.shape[2]) != c:
+        raise ValueError(f"depthwise weight (kh,kw,C) expected, got {w.shape} for C={c}")
+    kh, kw = int(w.shape[0]), int(w.shape[1])
+    pad_h = kh + stride - 2
+    pad_w = kw + stride - 2
+    padding = (
+        (pad_h - pad_h // 2, pad_h // 2),
+        (pad_w - pad_w // 2, pad_w // 2),
+    )
+    out = lax.conv_general_dilated(
+        x,
+        w[:, :, None, :].astype(x.dtype),
+        window_strides=(1, 1),
+        padding=padding,
+        lhs_dilation=(stride, stride),
+        dimension_numbers=_DIMSPEC,
+        feature_group_count=c,
+        precision=_precision_for(x.dtype),
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out.astype(x.dtype)
+
+
 def max_pool(
     x: jax.Array,
     *,
@@ -342,3 +413,16 @@ def init_conv(
 def init_conv_transpose_bilinear(k: int, cin: int, cout: int, *, dtype=jnp.float32) -> dict:
     """Transposed-conv params initialized to bilinear upsampling (no bias)."""
     return {"w": bilinear_kernel(k, cin, cout, dtype=dtype)}
+
+
+def bilinear_kernel_depthwise(k: int, c: int, dtype=jnp.float32) -> jax.Array:
+    """Per-channel bilinear triangle filter, (k, k, C)."""
+    full = np.asarray(bilinear_kernel(k, 1, 1, dtype=jnp.float32))[:, :, 0, 0]
+    return jnp.asarray(np.repeat(full[:, :, None], c, axis=2), dtype=dtype)
+
+
+def delta_kernel_depthwise(k: int, c: int, dtype=jnp.float32) -> jax.Array:
+    """Per-channel identity (center delta) filter, (k, k, C); odd k."""
+    w = np.zeros((k, k, c), np.float32)
+    w[k // 2, k // 2, :] = 1.0
+    return jnp.asarray(w, dtype=dtype)

@@ -17,7 +17,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def make_dp_grad_step(
@@ -37,6 +37,11 @@ def make_dp_grad_step(
     """
 
     def device_step(params, opt_state, batch, rng):
+        # Decorrelate per-device randomness: the rng enters replicated, so
+        # without folding in the axis index every device would draw identical
+        # augmentation crops / corruption noise for its local shard.
+        if rng is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         # per-device loss over the local shard; mean across devices via psum
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
         loss = jax.lax.pmean(loss, axis)
@@ -53,7 +58,7 @@ def make_dp_grad_step(
         mesh=mesh,
         in_specs=(rep, rep, batch_spec, rep),
         out_specs=(rep, rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 

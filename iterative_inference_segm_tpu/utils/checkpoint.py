@@ -57,22 +57,46 @@ def load_npz(path: str | os.PathLike, template) -> object:
     return rebuild(template)
 
 
-def save_checkpoint(directory: str | os.PathLike, step: int, state) -> None:
-    """Orbax checkpoint of an arbitrary pytree at ``directory/step``."""
-    import orbax.checkpoint as ocp
+_CKPTR = None
 
+
+def _checkpointer():
+    """Process-wide orbax checkpointer (holds the async-save thread pool)."""
+    global _CKPTR
+    if _CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def save_checkpoint(directory: str | os.PathLike, step: int, state, *, wait: bool = True) -> None:
+    """Orbax checkpoint of an arbitrary pytree at ``directory/step``.
+
+    ``wait=False`` backgrounds the serialization (orbax async save) so
+    checkpoint I/O overlaps the next training epoch — the SURVEY §6 plan.
+    Callers passing ``wait=False`` must hand over arrays that won't be
+    donated/mutated (the trainers pass fresh ``jax.device_get`` copies).
+    Pending saves are flushed by ``wait_for_checkpoints`` and before any
+    restore.
+    """
     path = Path(directory).absolute() / str(step)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     ckptr.save(path, state, force=True)
-    ckptr.wait_until_finished()
+    if wait:
+        ckptr.wait_until_finished()
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every backgrounded ``save_checkpoint`` has committed."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
 
 
 def restore_checkpoint(directory: str | os.PathLike, step: int, template):
-    import orbax.checkpoint as ocp
-
+    wait_for_checkpoints()  # never read past a still-writing async save
     path = Path(directory).absolute() / str(step)
-    ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, target=template)
+    return _checkpointer().restore(path, target=template)
 
 
 def latest_step(directory: str | os.PathLike) -> int | None:

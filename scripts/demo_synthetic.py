@@ -34,16 +34,19 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--train-batches", type=int, default=16)
     p.add_argument("--sigma", type=float, default=0.0)
-    p.add_argument("--from-fcn", action="store_true", default=True,
-                   help="train the DAE on frozen-FCN outputs (natural corruption) "
-                        "instead of noisy ground truth")
+    p.add_argument("--corruption", choices=["natural", "gt", "mix"], default="natural",
+                   help="DAE training corruption regime: 'natural' = frozen-FCN "
+                        "outputs (the demo default and the paper's best recipe), "
+                        "'gt' = sigma-noised one-hot ground truth (the "
+                        "distribution-shift control), 'mix' = per-batch blend "
+                        "(see --mix-prob). Mirrors [ref: train_dae.py]'s from_gt.")
+    p.add_argument("--mix-prob", type=float, default=0.5,
+                   help="with --corruption mix: probability a batch uses the GT regime")
     p.add_argument("--dae-stem-pool", type=int, default=0)
     p.add_argument("--dae-depth", type=int, default=4)
     p.add_argument("--dae-widths", nargs="*", type=int, default=None)
     p.add_argument("--k-max", type=int, default=8)
     p.add_argument("--eps-grid", nargs="*", type=float, default=[0.05, 0.1, 0.2, 0.4, 0.7, 1.0])
-    p.add_argument("--from-gt", dest="from_fcn", action="store_false",
-                   help="train the DAE on noisy ground truth instead")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true", help="print one JSON result line")
     args = p.parse_args(argv)
@@ -78,10 +81,11 @@ def main(argv=None) -> int:
                     epoch_callback=lambda e, h, _: print(f"  fcn epoch {e}: loss {h['train_loss']:.3f} val mIoU {h['val_miou']:.3f}", flush=True))
     fcn_params = rf["params"]
 
-    print("== training DAE (corrupted-GT regime, conditioned on pool4) ==", flush=True)
+    from_gt: bool | float = {"natural": False, "gt": True}.get(args.corruption, args.mix_prob)
+    print(f"== training DAE ({args.corruption} corruption, conditioned on pool4) ==", flush=True)
     tcfg_d = TrainConfig(learning_rate=1e-3, weight_decay=1e-4, max_epochs=args.epochs_dae, patience=100, seed=args.seed)
     rd = train_dae(fcn_params=fcn_params, dataset=cfg, train_data=train, val_data=val,
-                   tcfg=tcfg_d, h_taps=("pool4",), sigma=args.sigma, from_gt=not args.from_fcn,
+                   tcfg=tcfg_d, h_taps=("pool4",), sigma=args.sigma, from_gt=from_gt,
                    dae_depth=args.dae_depth, dae_stem_pool=args.dae_stem_pool,
                    dae_widths=tuple(args.dae_widths) if args.dae_widths else None,
                    epoch_callback=lambda e, h, _: print(f"  dae epoch {e}: loss {h['train_loss']:.3f} val mIoU {h['val_miou']:.3f}", flush=True))
@@ -101,7 +105,7 @@ def main(argv=None) -> int:
 
     refine = make_refiner(
         fcn8_apply, dae_apply, fcn_params, dae_params,
-        eps=res["best_eps"], num_steps=max(res["best_k"], 1), h_taps=("pool4",),
+        eps=res["best_eps"], num_steps=res["best_k"], h_taps=("pool4",),
         dae_kwargs={"depth": args.dae_depth},
     )
     cm0 = cmk = None

@@ -122,10 +122,11 @@ def main(argv=None) -> int:
         val_batches = get_batches(args.seed + 500)
         test_batches = get_batches(args.seed + 900)
     else:
-        from iterative_inference_segm_tpu.data.camvid import load_split, iterate_split
+        from iterative_inference_segm_tpu.data.camvid import iterate_split
+        from iterative_inference_segm_tpu.data.loaders import load_dataset_split
 
-        va_i, va_l = load_split(args.data_root, "val", cfg)
-        te_i, te_l = load_split(args.data_root, "test", cfg)
+        va_i, va_l = load_dataset_split(args.dataset, args.data_root, "val", cfg)
+        te_i, te_l = load_dataset_split(args.dataset, args.data_root, "test", cfg)
 
         def norm_batches(images, labels):
             return [
@@ -148,9 +149,12 @@ def main(argv=None) -> int:
         print(f"val search: best eps={eps} K={num_steps} (val mIoU {res['best_miou']:.4f})")
 
     compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    # num_steps=0 is honest (search may pick K=0 when the FCN has no
+    # headroom): the scan has length 0 and yk == y0 — never report a 1-step
+    # result as K=0 (ADVICE r1).
     refine = make_refiner(
         fcn8_apply, score_apply, fcn_params, dae_params,
-        eps=eps, num_steps=max(num_steps, 1), h_taps=tuple(args.concat_h),
+        eps=eps, num_steps=num_steps, h_taps=tuple(args.concat_h),
         mode=args.mode, renorm=args.renorm, compute_dtype=compute_dtype,
         dae_kwargs=score_kwargs,
     )
@@ -167,7 +171,7 @@ def main(argv=None) -> int:
                                compute_dtype=compute_dtype)
             dae_fn = lambda y: score_apply(dae_params, y, h, **score_kwargs)
             return refine_with_trajectory(
-                dae_fn, y0, eps=eps, num_steps=max(num_steps, 1),
+                dae_fn, y0, eps=eps, num_steps=num_steps,
                 mode=args.mode, renorm=args.renorm,
             )
 
@@ -206,8 +210,13 @@ def main(argv=None) -> int:
 
     m0 = metrics_from_confusion(cm0)
     mk = metrics_from_confusion(cmk)
+    refined_label = (
+        f"step {num_steps} (refined)"
+        if num_steps > 0
+        else "step 0 (search chose K=0; no refinement applied)"
+    )
     print(f"step 0 (FCN-8 baseline): mIoU {float(m0.mean_iou):.4f} acc {float(m0.pixel_accuracy):.4f}")
-    print(f"step {num_steps} (refined):     mIoU {float(mk.mean_iou):.4f} acc {float(mk.pixel_accuracy):.4f}")
+    print(f"{refined_label}:     mIoU {float(mk.mean_iou):.4f} acc {float(mk.pixel_accuracy):.4f}")
     print("per-class IoU (k=0 -> k=K):")
     for ci, name in enumerate(cfg.class_names):
         a = float(m0.per_class_iou[ci])

@@ -93,10 +93,11 @@ def main(argv=None) -> int:
             height=height, width=width, seed=args.seed + 10_000,
         )
     else:
-        from iterative_inference_segm_tpu.data.camvid import load_split, iterate_split
+        from iterative_inference_segm_tpu.data.camvid import iterate_split
+        from iterative_inference_segm_tpu.data.loaders import load_dataset_split
 
-        tr_i, tr_l = load_split(args.data_root, "train", cfg)
-        va_i, va_l = load_split(args.data_root, "val", cfg)
+        tr_i, tr_l = load_dataset_split(args.dataset, args.data_root, "train", cfg)
+        va_i, va_l = load_dataset_split(args.dataset, args.data_root, "val", cfg)
         train_data = lambda: iterate_split(tr_i, tr_l, batch_size=args.batch_size, shuffle=True, seed=args.seed)
         val_data = lambda: iterate_split(va_i, va_l, batch_size=args.batch_size)
 

@@ -62,10 +62,19 @@ def test_normalize_image_stats():
     np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-6)
 
 
-def test_normalize_accepts_255_range():
+def test_normalize_explicit_255_scale():
     x = jnp.full((1, 4, 4, 3), 255.0)
-    out = np.asarray(normalize_image(x, CAMVID))
+    out = np.asarray(normalize_image(x, CAMVID, input_scale=255.0))
     expected = (1.0 - np.array(CAMVID.mean)) / np.array(CAMVID.std)
+    np.testing.assert_allclose(out[0, 0, 0], expected, rtol=1e-4)
+
+
+def test_normalize_dark_image_not_rescaled_by_batch_content():
+    # Regression (VERDICT r1 weak #3): an all-dark batch must normalize
+    # exactly like any other [0,1] batch — no data-dependent encoding guess.
+    x = jnp.full((1, 4, 4, 3), 0.004)  # a dark [0,1] image (~1/255)
+    out = np.asarray(normalize_image(x, CAMVID))
+    expected = (0.004 - np.array(CAMVID.mean)) / np.array(CAMVID.std)
     np.testing.assert_allclose(out[0, 0, 0], expected, rtol=1e-4)
 
 

@@ -103,6 +103,18 @@ def test_multiple_epochs_reuse_handle(packed):
             assert len(list(ds.batches(4))) == 4
 
 
+def test_pack_maps_negative_void_to_void_label(tmp_path):
+    # Regression (ADVICE r1 medium): -1 void markers must become
+    # cfg.void_label, not be clipped onto class 0.
+    images = np.zeros((1, 4, 4, 3), np.uint8)
+    labels = np.array([[[-1, 0, 3, 255], [10, -1, 11, 200], [0, 0, 0, 0], [-1, -1, -1, -1]]])
+    pack_dataset(tmp_path / "void.iist", images, labels, CAMVID)
+    with NativeDataset(tmp_path / "void.iist") as ds:
+        (_, labs), = list(ds.batches(1))
+    expected = np.where((labels < 0) | (labels >= CAMVID.n_classes), CAMVID.void_label, labels)
+    np.testing.assert_array_equal(labs[0], expected[0])
+
+
 def test_pack_validates_shapes(tmp_path):
     with pytest.raises(ValueError):
         pack_dataset(

@@ -107,6 +107,36 @@ def test_spatial_sharding_forward(cpu_devices):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
+def test_sp_sharded_refinement_matches_unsharded(cpu_devices):
+    """VERDICT r1 weak #8: the refinement scan itself — fcn8_apply + K
+    score steps through the DAE — sharded over the 'space' (H) axis must
+    equal the unsharded result. XLA inserts the halo exchanges for every
+    conv in both the FCN and the in-scan DAE."""
+    from iterative_inference_segm_tpu.inference import make_refiner
+
+    fcn = init_fcn8(jax.random.PRNGKey(0), n_classes=C, fc_channels=16)
+    dae = init_dae(jax.random.PRNGKey(1), n_classes=C, h_specs={"pool4": 512})
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 48, 64, 3))
+
+    refine_ref = make_refiner(
+        fcn8_apply, dae_apply, fcn, dae, eps=0.2, num_steps=3, h_taps=("pool4",)
+    )
+    y0_ref, yk_ref = refine_ref(x)
+
+    mesh = make_mesh(("data", "space"), (2, 4))
+    refine_sp = make_refiner(
+        fcn8_apply, dae_apply, replicate(mesh, fcn), replicate(mesh, dae),
+        eps=0.2, num_steps=3, h_taps=("pool4",),
+    )
+    x_s = jax.device_put(x, batch_sharding(mesh, 4, spatial_axis="space"))
+    y0_sp, yk_sp = refine_sp(x_s)
+
+    np.testing.assert_allclose(np.asarray(y0_sp), np.asarray(y0_ref), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(yk_sp), np.asarray(yk_ref), rtol=5e-4, atol=5e-5)
+    # refinement must actually have moved the iterate (non-vacuous check)
+    assert float(jnp.abs(yk_ref - y0_ref).max()) > 1e-4
+
+
 def test_shard_map_dp_step_matches_single_device(cpu_devices):
     """Explicit shard_map+psum DP step == single-device step (same update)."""
     import optax
@@ -144,6 +174,35 @@ def test_shard_map_dp_step_matches_single_device(cpu_devices):
     np.testing.assert_allclose(float(loss_dp), float(loss_ref), rtol=1e-5)
     for a, b2 in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_dp)):
         np.testing.assert_allclose(np.asarray(b2), np.asarray(a), rtol=2e-3, atol=1e-5)
+
+
+def test_shard_map_dp_rng_decorrelated_across_devices(cpu_devices):
+    """Each device must draw DIFFERENT randomness from the replicated rng
+    (ADVICE r1: identical per-device noise reduces effective randomness)."""
+    import optax
+    from iterative_inference_segm_tpu.parallel.dp import make_dp_grad_step, put_dp
+
+    mesh = make_mesh(("data",))
+    n_dev = mesh.devices.size
+    params = {"w": jnp.zeros(())}
+    tx = optax.sgd(1.0)
+    opt_state = tx.init(params)
+    rng = jax.random.PRNGKey(42)
+
+    # grad wrt w is exactly the device's noise draw; after pmean the sgd
+    # update reveals the mean draw across devices.
+    def loss_fn(p, b, r):
+        return p["w"] * jax.random.normal(r, ())
+
+    step = make_dp_grad_step(loss_fn, tx, mesh)
+    p_r, o_r, b_r = put_dp(mesh, params, opt_state, {"t": jnp.zeros((n_dev,))})
+    p_new, _, _ = step(p_r, o_r, b_r, rng)
+    per_dev = np.array(
+        [jax.random.normal(jax.random.fold_in(rng, i), ()) for i in range(n_dev)]
+    )
+    np.testing.assert_allclose(np.asarray(p_new["w"]), -per_dev.mean(), rtol=1e-5)
+    # and the draws genuinely differ device-to-device
+    assert np.std(per_dev) > 1e-3
 
 
 def test_shard_map_dp_psum_actually_averages(cpu_devices):
