@@ -50,6 +50,19 @@ def main() -> int:
     p.add_argument("--dae-depth", type=int, default=3)
     p.add_argument("--dae-widths", nargs="*", type=int, default=None,
                    help="encoder channel widths (default from models.dae)")
+    p.add_argument("--dae-tail", choices=["full", "sep"], default="full",
+                   help="refinement tail: dense CxC (round-1) or separable "
+                        "(depthwise up + depthwise 3x3 + 1x1 mix)")
+    p.add_argument("--engine", choices=["general", "half", "fused"], default="half",
+                   help="refinement engine: 'general' = full-fidelity lax.scan "
+                        "over dae_apply (reference semantics); 'half' = K steps "
+                        "on the pooled map + one full-res rectification (the "
+                        "throughput configuration, accuracy-validated by the "
+                        "synthetic demo); 'fused' = phase-major experiment "
+                        "(slower than general — kept for the record)")
+    p.add_argument("--state-dtype", choices=["bf16", "f32", "compute"], default="compute",
+                   help="refinement carry dtype for the general engine "
+                        "('compute' follows --dtype)")
     p.add_argument("--check", action="store_true",
                    help=f"exit 1 if vs_baseline < {PERF_FLOOR} (perf gate)")
     p.add_argument("--no-history", action="store_true",
@@ -82,22 +95,62 @@ def main() -> int:
         h_specs={"pool4": DAE_H_CHANNELS["pool4"]},
         depth=args.dae_depth,
         stem_pool=args.dae_stem_pool,
+        tail=args.dae_tail,
         **({"widths": tuple(args.dae_widths)} if args.dae_widths else {}),
     )
+    if args.engine == "fused" and (args.dae_tail != "sep" or args.dae_stem_pool != 1):
+        raise SystemExit("--engine fused requires --dae-tail sep --dae-stem-pool 1")
+    if args.engine == "half" and args.dae_stem_pool != 1:
+        raise SystemExit("--engine half requires --dae-stem-pool 1")
+    state_dtype = {
+        "bf16": jnp.bfloat16, "f32": jnp.float32, "compute": compute_dtype
+    }[args.state_dtype]
 
-    @jax.jit
-    def pipeline(fcn_params, dae_params, x):
-        y0, h = fcn8_apply(
-            fcn_params, x, return_features=("pool4",), compute_dtype=compute_dtype
+    if args.engine in ("fused", "half"):
+        from iterative_inference_segm_tpu.inference.fused import (
+            fused_refinement_scan,
+            halfres_refinement_scan,
         )
-        dae_fn = lambda y: dae_apply(
-            dae_params, y, h, depth=args.dae_depth, compute_dtype=compute_dtype
+        from iterative_inference_segm_tpu.models.dae import dae_core
+
+        scan_impl = (
+            halfres_refinement_scan if args.engine == "half" else fused_refinement_scan
         )
-        y_k = refinement_scan(dae_fn, y0, eps=0.1, num_steps=args.steps, mode="score")
-        pred = jnp.argmax(y_k, axis=-1)
-        # tiny on-device summary: timing syncs on a scalar device->host fetch
-        # (block_until_ready does not actually block through the axon relay)
-        return jnp.sum(pred, dtype=jnp.int32)
+
+        @jax.jit
+        def pipeline(fcn_params, dae_params, x):
+            y0, h = fcn8_apply(
+                fcn_params, x, return_features=("pool4",), compute_dtype=compute_dtype
+            )
+            core_fn = lambda yp: dae_core(
+                dae_params, yp.astype(compute_dtype), h,
+                depth=args.dae_depth, stem_pool=1,
+            )
+            y_k = scan_impl(
+                dae_params, core_fn, y0, eps=0.1, num_steps=args.steps,
+                state_dtype=state_dtype,
+            )
+            pred = jnp.argmax(y_k, axis=-1)
+            return jnp.sum(pred, dtype=jnp.int32)
+    else:
+
+        @jax.jit
+        def pipeline(fcn_params, dae_params, x):
+            y0, h = fcn8_apply(
+                fcn_params, x, return_features=("pool4",), compute_dtype=compute_dtype
+            )
+            dae_fn = lambda y: dae_apply(
+                dae_params, y, h, depth=args.dae_depth, compute_dtype=compute_dtype,
+                out_dtype=state_dtype,
+            )
+            y_k = refinement_scan(
+                dae_fn, y0.astype(state_dtype), eps=jnp.asarray(0.1, state_dtype),
+                num_steps=args.steps, mode="score",
+            )
+            pred = jnp.argmax(y_k, axis=-1)
+            # tiny on-device summary: timing syncs on a scalar device->host fetch
+            # (block_until_ready does not actually block through the axon relay)
+            return jnp.sum(pred, dtype=jnp.int32)
 
     (images, _), = synthetic_batches(
         cfg=CAMVID,
@@ -130,7 +183,8 @@ def main() -> int:
     target = 1000.0
     result = {
         "metric": f"images/sec/chip (FCN-8 + {args.steps}-step DAE refine, "
-        f"{args.height}x{args.width}, {args.dtype}, batch={args.batch})",
+        f"{args.height}x{args.width}, {args.dtype}, batch={args.batch}, "
+        f"engine={args.engine}, tail={args.dae_tail})",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / target, 4),

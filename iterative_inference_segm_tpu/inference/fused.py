@@ -1,0 +1,340 @@
+"""Phase-major refinement engine: the fast path for the K-step scan.
+
+Why this exists (measured on the attached v5e, batch 128, 360x480, bf16):
+one refinement step of the flagship stem1/d3 DAE costs ~0.195 ms/img, and
+~2/3 of that is the handful of FULL-RESOLUTION class-map ops around the
+mid-res encoder/decoder (stem avg-pool, 4x4 deconv back to /1, 3x3
+score_input, softmax, the y-update). Those ops are bandwidth-bound for a
+bad reason: in NHWC, XLA tiles the minor (class) dimension onto the 128
+vector lanes, so C=11 maps are physically padded 11->128 — an ~11x HBM
+traffic multiplier on every full-res tensor. A Pallas rewrite was probed
+and rejected: Mosaic's lane-shift/cross-sublane-reduce lowerings cost ~30x
+a plain vreg FMA (tools/vpu_probe.py), eating the win.
+
+The fix is a LAYOUT, not a kernel: carry the refinement state phase-major
+and channel-leading, ``y_ph (B, 2, 2, C, H/2, W/2)`` (phases = row/col
+parity), so the minor dims are (H/2, W/2) — padded 240->256 on lanes, ~7%
+instead of ~1060%. In this form every full-res tail op becomes pure
+shift-and-add arithmetic that XLA fuses into a couple of HBM passes:
+
+* stem avg-pool  = mean over the 4 phase planes (pure elementwise);
+* k=4 s=2 depthwise deconv = per-phase 2x2 taps of the half-res map
+  (phase-major algebra of ops/conv.conv_transpose2d_phase);
+* depthwise 3x3 on the full-res map = 9 shifted phase-plane FMAs;
+* 1x1 channel mix = C^2 slab FMAs over the UNTILED channel dim;
+* softmax over C = reductions over an untiled dim (no lane shuffles).
+
+Requires the separable tail (models/dae.py ``tail='sep'``): with dense CxC
+spatial kernels the slab count multiplies by C and the VPU becomes the
+bottleneck again. Everything here is plain jnp — differentiable (energy
+mode, training) and exactly equal to dae_apply + refinement_scan modulo
+float reassociation (tested in tests/test_fused.py).
+
+Reference semantics: ``[ref: iterative_inference.py]`` (the K-step update
+loop, SURVEY.md §4.3); this module changes only how the arithmetic is laid
+out on the TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from iterative_inference_segm_tpu.models.dae import (
+    dae_core,
+    dae_stem_pool_of,
+    dae_tail_of,
+)
+
+
+def phase_split(y: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, 2, 2, C, H/2, W/2); [b, ph, pw, c, j, u] = y[b, 2j+ph, 2u+pw, c]."""
+    b, h, w, c = y.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"phase_split needs even H, W; got {(h, w)}")
+    y = y.reshape(b, h // 2, 2, w // 2, 2, c)
+    return y.transpose(0, 2, 4, 5, 1, 3)
+
+
+def phase_merge(y_ph: jax.Array) -> jax.Array:
+    """Inverse of ``phase_split``."""
+    b, _, _, c, hh, wh = y_ph.shape
+    return y_ph.transpose(0, 4, 1, 5, 2, 3).reshape(b, 2 * hh, 2 * wh, c)
+
+
+def _shift2(x: jax.Array, dh: int, dw: int) -> jax.Array:
+    """out[..., j, u] = x[..., j+dh, u+dw], zero-filled outside (|d| <= 1)."""
+    if dh:
+        pad = [(0, 0)] * (x.ndim - 2) + [(max(-dh, 0), max(dh, 0)), (0, 0)]
+        x = jnp.pad(x, pad)
+        x = x[..., max(dh, 0) : x.shape[-2] - max(-dh, 0), :]
+    if dw:
+        pad = [(0, 0)] * (x.ndim - 1) + [(max(-dw, 0), max(dw, 0))]
+        x = jnp.pad(x, pad)
+        x = x[..., max(dw, 0) : x.shape[-1] - max(-dw, 0)]
+    return x
+
+
+# k=4 s=2 transposed-conv taps per output phase, matching conv_transpose2d's
+# symmetric padding (pad_lo = 2): out[2j+0] = w[0]*s[j-1] + w[2]*s[j];
+# out[2j+1] = w[1]*s[j] + w[3]*s[j+1]. Entries: (kernel index, source shift).
+_DECONV_TAPS = {0: ((0, -1), (2, 0)), 1: ((1, 0), (3, 1))}
+
+
+def septail_phase_logits(
+    params: dict, s_cl: jax.Array, y_ph: jax.Array
+) -> jax.Array:
+    """Separable tail on phase planes: logits_ph (B, 2, 2, C, Hh, Wh).
+
+    ``s_cl``: channel-leading half-res score map (B, C, Hh, Wh) from
+    ``dae_core``; ``y_ph``: phase-split current iterate. Same math as
+    models.dae.dae_septail_logits, re-laid-out.
+    """
+    c = s_cl.shape[1]
+    w_up = params["up_stem_dw"]["w"]  # (4, 4, C)
+    w_si = params["score_input_dw"]["w"]  # (3, 3, C)
+    mix = params["mix"]["w"][0, 0]  # (C, C)
+    bias = params["mix"]["b"]  # (C,)
+
+    dt = y_ph.dtype
+    w_up = w_up.astype(dt)
+    w_si = w_si.astype(dt)
+    mix = mix.astype(dt)
+
+    def chan(w):  # (C,) -> broadcast over (B, C, Hh, Wh)
+        return w[None, :, None, None]
+
+    phases = []
+    for ph in range(2):
+        row = []
+        for pw in range(2):
+            # depthwise 4x4 deconv of s: 2x2 taps for this phase
+            acc = None
+            for kh, dh in _DECONV_TAPS[ph]:
+                for kw, dw_ in _DECONV_TAPS[pw]:
+                    t = _shift2(s_cl, dh, dw_) * chan(w_up[kh, kw])
+                    acc = t if acc is None else acc + t
+            # depthwise 3x3 on the full-res iterate: 9 phase-mapped taps
+            for dr in (-1, 0, 1):
+                src_ph = (ph + dr) % 2
+                dh = (ph + dr) // 2
+                for dc in (-1, 0, 1):
+                    src_pw = (pw + dc) % 2
+                    dw_ = (pw + dc) // 2
+                    plane = y_ph[:, src_ph, src_pw]
+                    acc = acc + _shift2(plane, dh, dw_) * chan(w_si[1 + dr, 1 + dc])
+            # 1x1 channel mix as C^2 slab FMAs (stays elementwise-fusable;
+            # a dot over the untiled C dim would force relayouts)
+            logits = [
+                sum(acc[:, ci] * mix[ci, co] for ci in range(c)) + bias[co].astype(dt)
+                for co in range(c)
+            ]
+            row.append(jnp.stack(logits, axis=1))
+        phases.append(jnp.stack(row, axis=1))
+    return jnp.stack(phases, axis=1)
+
+
+def fused_refinement_scan(
+    params: dict,
+    core_fn: Callable[[jax.Array], jax.Array],
+    y0: jax.Array,
+    *,
+    eps: float | jax.Array,
+    num_steps: int,
+    state_dtype=None,
+) -> jax.Array:
+    """K score-refinement steps with a phase-major carry; returns y_K (NHWC).
+
+    ``core_fn(y_pool_nhwc) -> s_nhwc`` is the mid-res encoder/decoder (a
+    closure over dae params + conditioning h, i.e. ``dae_core`` after the
+    stem). Layout conversions in and out of NHWC happen at HALF resolution
+    only (1/4 of the full-res traffic); the full-res math never leaves the
+    channel-leading phase layout.
+    """
+    if state_dtype is None:
+        state_dtype = y0.dtype
+    y_ph0 = phase_split(y0).astype(state_dtype)
+    eps = jnp.asarray(eps, state_dtype)
+
+    def step(y_ph, _):
+        y_pool = jnp.mean(
+            y_ph.astype(jnp.float32) if state_dtype == jnp.bfloat16 else y_ph, axis=(1, 2)
+        ).astype(state_dtype)  # (B, C, Hh, Wh): the stem avg-pool
+        s = core_fn(jnp.transpose(y_pool, (0, 2, 3, 1)))  # NHWC half-res
+        s_cl = jnp.transpose(s, (0, 3, 1, 2)).astype(state_dtype)
+        logits = septail_phase_logits(params, s_cl, y_ph).astype(jnp.float32)
+        r = jax.nn.softmax(logits, axis=3).astype(state_dtype)
+        y_ph_new = y_ph - eps * (y_ph - r)
+        return y_ph_new, None
+
+    y_ph_k, _ = lax.scan(step, y_ph0, None, length=num_steps)
+    return phase_merge(y_ph_k).astype(y0.dtype)
+
+
+def half_logits(params: dict, x: jax.Array, s: jax.Array) -> jax.Array:
+    """Half-resolution tail logits: the score fusion applied at the pooled
+    scale (the half engine's per-step denoiser head). ``s`` = dae_core(x)."""
+    from iterative_inference_segm_tpu.ops.conv import conv2d, conv2d_depthwise
+
+    if dae_tail_of(params) == "sep":
+        d = conv2d_depthwise(x, params["score_input_dw"]["w"].astype(x.dtype))
+        p = params["mix"]
+        return conv2d(s + d, p["w"], p["b"], padding="SAME")
+    p = params["score_input"]
+    return s + conv2d(x, p["w"], p["b"], padding="SAME")
+
+
+def full_logits(params: dict, s_k: jax.Array, y: jax.Array) -> jax.Array:
+    """Full-resolution rectification logits from a (refined) half-res score
+    map: exactly the DAE's stem-tail applied once (up + score_input on y)."""
+    from iterative_inference_segm_tpu.ops.conv import conv2d, conv_transpose2d, crop_to
+
+    if dae_tail_of(params) == "sep":
+        from iterative_inference_segm_tpu.models.dae import dae_septail_logits
+
+        return dae_septail_logits(params, s_k, y)
+    u = conv_transpose2d(s_k, params["up_stem1"]["w"], stride=2)
+    u = crop_to(u, y.shape[1], y.shape[2])
+    p = params["score_input"]
+    return u + conv2d(y.astype(u.dtype), p["w"], p["b"], padding="SAME")
+
+
+def halfres_refinement_scan(
+    params: dict,
+    core_fn: Callable[[jax.Array], jax.Array],
+    y0: jax.Array,
+    *,
+    eps: float | jax.Array,
+    num_steps: int,
+    state_dtype=None,
+) -> jax.Array:
+    """K refinement steps on the POOLED class map + one full-res rectification.
+
+    The throughput configuration ("half engine"). Measured motivation
+    (v5e, batch 128, bf16): a full-fidelity refinement step costs ~0.16
+    ms/img of which only ~0.04 is the mid-res encoder/decoder — the rest is
+    materialized full-resolution passes between the tail's conv boundaries
+    that XLA cannot fuse away. This engine keeps the ITERATION entirely at
+    half resolution (the scale the DAE's stem pools to anyway):
+
+        x_0 = avg_pool(y_0)
+        x_{k+1} = x_k - eps * (x_k - softmax(core(x_k) + si_h(x_k)))
+        y_K = y_0 - eps * (y_0 - softmax(up(core(x_K)) + si(y_0)))
+
+    where ``si_h`` reuses the tail's score_input kernel at half resolution
+    and the LAST line is one standard full-res tail application injecting
+    the original full-res detail. This is an approximation of K full-res
+    steps (pool and softmax do not commute); its accuracy is validated
+    end-to-end by the synthetic demo (scripts/demo_synthetic.py --engine
+    half reproduces the full engine's refinement gain; see
+    ARCHITECTURE.md). (eps, K) are re-searched on the validation split for
+    this engine, exactly as the reference tunes its own loop
+    (``[ref: iterative_inference_valid.py]``).
+
+    Works with both tails: 'full' (dense score_input/up_stem) and 'sep'.
+    """
+    if dae_stem_pool_of(params) != 1:
+        raise ValueError("half engine requires a stem_pool=1 DAE")
+    if state_dtype is None:
+        state_dtype = y0.dtype
+    eps_s = jnp.asarray(eps, state_dtype)
+
+    b, h, w, c = y0.shape
+    if h % 2 or w % 2:
+        raise ValueError("half engine requires even H, W")
+
+    from iterative_inference_segm_tpu.ops.conv import avg_pool
+
+    x0 = avg_pool(y0.astype(state_dtype), window=2, stride=2)
+
+    def step(x, _):
+        s = core_fn(x).astype(state_dtype)
+        r = jax.nn.softmax(half_logits(params, x, s).astype(jnp.float32), -1).astype(state_dtype)
+        return x - eps_s * (x - r), None
+
+    x_k, _ = lax.scan(step, x0, None, length=num_steps)
+
+    s_k = core_fn(x_k).astype(state_dtype)
+    r_full = jax.nn.softmax(full_logits(params, s_k, y0.astype(state_dtype)).astype(jnp.float32), -1)
+    y_final = y0.astype(jnp.float32) - jnp.float32(eps) * (y0.astype(jnp.float32) - r_full)
+    return y_final.astype(y0.dtype)
+
+
+def make_half_refiner(
+    fcn_apply: Callable,
+    fcn_params,
+    dae_params: dict,
+    *,
+    eps: float,
+    num_steps: int,
+    h_taps: tuple[str, ...] = ("pool4",),
+    depth: int = 3,
+    compute_dtype=jnp.float32,
+    state_dtype=None,
+) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]:
+    """Jitted image batch -> (y0, yK) via the half-resolution engine."""
+
+    @jax.jit
+    def refine(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        y0, h = fcn_apply(
+            fcn_params, x, return_features=h_taps, compute_dtype=compute_dtype
+        )
+
+        def core_fn(x_half):
+            return dae_core(
+                dae_params, x_half.astype(compute_dtype), h, depth=depth, stem_pool=1
+            )
+
+        y_k = halfres_refinement_scan(
+            dae_params, core_fn, y0, eps=eps, num_steps=num_steps,
+            state_dtype=state_dtype or compute_dtype,
+        )
+        return y0, y_k
+
+    return refine
+
+
+def make_fused_refiner(
+    fcn_apply: Callable,
+    fcn_params,
+    dae_params: dict,
+    *,
+    eps: float,
+    num_steps: int,
+    h_taps: tuple[str, ...] = ("pool4",),
+    depth: int = 3,
+    compute_dtype=jnp.float32,
+    state_dtype=None,
+) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]:
+    """Jitted image batch -> (y0, yK) using the phase-major fast path.
+
+    Drop-in for ``inference.iterative.make_refiner`` for score mode with a
+    stem_pool=1 separable-tail DAE (the flagship); other configurations
+    should use the general engine.
+    """
+    if dae_tail_of(dae_params) != "sep" or dae_stem_pool_of(dae_params) != 1:
+        raise ValueError("fused refiner requires a stem_pool=1, tail='sep' DAE")
+
+    @jax.jit
+    def refine(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        y0, h = fcn_apply(
+            fcn_params, x, return_features=h_taps, compute_dtype=compute_dtype
+        )
+
+        def core_fn(y_pool_nhwc):
+            return dae_core(
+                dae_params, y_pool_nhwc.astype(compute_dtype), h,
+                depth=depth, stem_pool=1,
+            )
+
+        y_k = fused_refinement_scan(
+            dae_params, core_fn, y0,
+            eps=eps, num_steps=num_steps,
+            state_dtype=state_dtype or compute_dtype,
+        )
+        return y0, y_k
+
+    return refine

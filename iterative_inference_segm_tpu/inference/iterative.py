@@ -62,6 +62,7 @@ def refinement_scan(
     num_steps: int,
     mode: str = "score",
     renorm: str = "none",
+    unroll: int | bool = 1,
 ) -> jax.Array:
     """Run K refinement steps as ONE on-chip ``lax.scan``; returns y_K.
 
@@ -70,6 +71,12 @@ def refinement_scan(
     SURVEY.md §4.3). ``num_steps`` is static (scan length); ``eps`` may be a
     traced scalar, so (eps, K) grid search can reuse one compiled program
     across eps values.
+
+    ``unroll`` is forwarded to ``lax.scan``: unrolling lets XLA fuse across
+    step boundaries (e.g. step k's update into step k+1's stem pooling) —
+    the refinement step is materialization-bound on full-res class maps, so
+    cross-step fusion is measurable; use ``unroll=num_steps`` for the
+    throughput configuration.
     """
 
     def step(y, _):
@@ -81,7 +88,7 @@ def refinement_scan(
             raise ValueError(f"unknown renorm {renorm!r}")
         return y, None
 
-    y_k, _ = lax.scan(step, y0, None, length=num_steps)
+    y_k, _ = lax.scan(step, y0, None, length=num_steps, unroll=unroll)
     return y_k
 
 

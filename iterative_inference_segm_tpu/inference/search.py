@@ -77,3 +77,75 @@ def grid_search_eps_k(
         "best_miou": float(miou[best_ei, best_k]),
         "miou": miou,
     }
+
+
+def grid_search_eps_k_half(
+    fcn_apply: Callable,
+    fcn_params,
+    dae_params,
+    batches: Iterable[tuple[np.ndarray, np.ndarray]],
+    *,
+    n_classes: int,
+    eps_grid: Sequence[float],
+    k_max: int,
+    h_taps: tuple[str, ...] = ("pool4",),
+    depth: int = 3,
+    compute_dtype=jnp.float32,
+) -> dict:
+    """(eps, K) search for the HALF engine (inference/fused.py).
+
+    The half engine's K means "K pooled-map steps + one full-res
+    rectification", so its K=0 is one rectification pass, not identity.
+    Scoring reuses the general search's one-trajectory trick: the scan over
+    K emits the confusion matrix of rectify(x_k) at every k (one dae_core
+    call per k — the rectification shares the step's core output), and eps
+    is traced so the whole grid is one compiled program.
+    """
+    from iterative_inference_segm_tpu.inference.fused import full_logits, half_logits
+    from iterative_inference_segm_tpu.models.dae import dae_core
+    from iterative_inference_segm_tpu.ops.conv import avg_pool
+
+    batches = list(batches)
+
+    @jax.jit
+    def scan_cms(eps: jax.Array, x_img: jax.Array, labels: jax.Array) -> jax.Array:
+        y0, h = fcn_apply(
+            fcn_params, x_img, return_features=h_taps, compute_dtype=compute_dtype
+        )
+        core_fn = lambda xx: dae_core(
+            dae_params, xx.astype(compute_dtype), h, depth=depth, stem_pool=1
+        )
+        x0 = avg_pool(y0, window=2, stride=2)
+
+        def step(xc, _):
+            s = core_fn(xc)
+            r_full = jax.nn.softmax(
+                full_logits(dae_params, s, y0).astype(jnp.float32), -1
+            )
+            y_k = y0 - eps * (y0 - r_full)
+            cm = confusion_matrix(jnp.argmax(y_k, -1), labels, n_classes=n_classes)
+            r_half = jax.nn.softmax(half_logits(dae_params, xc, s).astype(jnp.float32), -1)
+            xc = xc - eps * (xc - r_half.astype(xc.dtype))
+            return xc, cm
+
+        _, cms = jax.lax.scan(step, x0, None, length=k_max + 1)
+        return cms  # (k_max+1, C, C): row k = engine with num_steps=k
+
+    miou = np.zeros((len(eps_grid), k_max + 1), dtype=np.float64)
+    for ei, eps in enumerate(eps_grid):
+        cms = None
+        for x, labels in batches:
+            c = scan_cms(jnp.asarray(eps, jnp.float32), jnp.asarray(x), jnp.asarray(labels))
+            cms = c if cms is None else cms + c
+        cms = jax.device_get(cms)
+        for k in range(k_max + 1):
+            miou[ei, k] = float(metrics_from_confusion(jnp.asarray(cms[k])).mean_iou)
+
+    best_flat = int(np.argmax(miou))
+    best_ei, best_k = divmod(best_flat, k_max + 1)
+    return {
+        "best_eps": float(eps_grid[best_ei]),
+        "best_k": int(best_k),
+        "best_miou": float(miou[best_ei, best_k]),
+        "miou": miou,
+    }

@@ -267,6 +267,7 @@ def dae_apply(
     *,
     depth: int = 4,
     compute_dtype=jnp.float32,
+    out_dtype=jnp.float32,
 ) -> jax.Array:
     """DAE forward: corrupted probability map (+ conditioning) -> denoised map.
 
@@ -274,6 +275,10 @@ def dae_apply(
     Returns (B, H, W, C) softmax probabilities at the input resolution.
     The stem/tail configuration is inferred from the params (presence of
     ``up_stem*`` / ``up_stem_dw`` entries), so one apply serves all layouts.
+
+    ``out_dtype``: dtype of the softmax output. f32 (default) is the parity
+    path; the throughput configuration passes bf16 so the whole refinement
+    carry stays bf16 (halves full-res HBM traffic in the scan).
     """
     from iterative_inference_segm_tpu.ops.conv import avg_pool
 
@@ -302,4 +307,4 @@ def dae_apply(
         s = s + conv2d(y.astype(s.dtype), p["w"], p["b"], padding="SAME")
 
     logits = crop_to(s, y.shape[1], y.shape[2]).astype(jnp.float32)
-    return jax.nn.softmax(logits, axis=-1)
+    return jax.nn.softmax(logits, axis=-1).astype(out_dtype)

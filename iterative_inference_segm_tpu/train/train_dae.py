@@ -172,6 +172,7 @@ def train_dae(
     from_gt: bool | float = True,
     dae_depth: int = 4,
     dae_stem_pool: int = 0,
+    dae_tail: str = "full",
     dae_widths: tuple[int, ...] | None = None,
     arch: str = "dae",
     workdir: str | None = None,
@@ -209,7 +210,7 @@ def train_dae(
             extra = {"widths": dae_widths} if dae_widths else {}
             dae_params = init_dae(
                 init_key, n_classes=dataset.n_classes, h_specs=h_specs,
-                depth=dae_depth, stem_pool=dae_stem_pool, **extra,
+                depth=dae_depth, stem_pool=dae_stem_pool, tail=dae_tail, **extra,
             )
     tx = make_optimizer(tcfg)
     opt_state = tx.init(dae_params)

@@ -43,10 +43,15 @@ def main(argv=None) -> int:
     p.add_argument("--mix-prob", type=float, default=0.5,
                    help="with --corruption mix: probability a batch uses the GT regime")
     p.add_argument("--dae-stem-pool", type=int, default=0)
+    p.add_argument("--dae-tail", choices=["full", "sep"], default="full")
     p.add_argument("--dae-depth", type=int, default=4)
     p.add_argument("--dae-widths", nargs="*", type=int, default=None)
     p.add_argument("--k-max", type=int, default=8)
     p.add_argument("--eps-grid", nargs="*", type=float, default=[0.05, 0.1, 0.2, 0.4, 0.7, 1.0])
+    p.add_argument("--engine", choices=["general", "half"], default="general",
+                   help="refinement engine for search+eval: 'half' = the "
+                        "throughput configuration (K pooled-map steps + one "
+                        "full-res rectification; requires --dae-stem-pool 1)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true", help="print one JSON result line")
     args = p.parse_args(argv)
@@ -57,6 +62,8 @@ def main(argv=None) -> int:
     from iterative_inference_segm_tpu.data.config_datasets import CAMVID
     from iterative_inference_segm_tpu.data.synthetic import synthetic_batches
     from iterative_inference_segm_tpu.inference import grid_search_eps_k, make_refiner
+    from iterative_inference_segm_tpu.inference.search import grid_search_eps_k_half
+    from iterative_inference_segm_tpu.inference.fused import make_half_refiner
     from iterative_inference_segm_tpu.models import fcn8_apply, dae_apply
     from iterative_inference_segm_tpu.ops.metrics import confusion_matrix, metrics_from_confusion
     from iterative_inference_segm_tpu.data.pipeline import normalize_image
@@ -86,7 +93,7 @@ def main(argv=None) -> int:
     tcfg_d = TrainConfig(learning_rate=1e-3, weight_decay=1e-4, max_epochs=args.epochs_dae, patience=100, seed=args.seed)
     rd = train_dae(fcn_params=fcn_params, dataset=cfg, train_data=train, val_data=val,
                    tcfg=tcfg_d, h_taps=("pool4",), sigma=args.sigma, from_gt=from_gt,
-                   dae_depth=args.dae_depth, dae_stem_pool=args.dae_stem_pool,
+                   dae_depth=args.dae_depth, dae_stem_pool=args.dae_stem_pool, dae_tail=args.dae_tail,
                    dae_widths=tuple(args.dae_widths) if args.dae_widths else None,
                    epoch_callback=lambda e, h, _: print(f"  dae epoch {e}: loss {h['train_loss']:.3f} val mIoU {h['val_miou']:.3f}", flush=True))
     dae_params = rd["params"]
@@ -95,19 +102,35 @@ def main(argv=None) -> int:
     def norm(b):
         return [(np.asarray(normalize_image(jnp.asarray(i), cfg)), l) for i, l in b]
 
-    res = grid_search_eps_k(
-        fcn8_apply, dae_apply, fcn_params, dae_params, norm(val),
-        n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,
-        h_taps=("pool4",), dae_kwargs={"depth": args.dae_depth},
-    )
+    if args.engine == "half":
+        if args.dae_stem_pool != 1:
+            raise SystemExit("--engine half requires --dae-stem-pool 1")
+        res = grid_search_eps_k_half(
+            fcn8_apply, fcn_params, dae_params, norm(val),
+            n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,
+            h_taps=("pool4",), depth=args.dae_depth,
+        )
+    else:
+        res = grid_search_eps_k(
+            fcn8_apply, dae_apply, fcn_params, dae_params, norm(val),
+            n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,
+            h_taps=("pool4",), dae_kwargs={"depth": args.dae_depth},
+        )
     print(f"  best eps={res['best_eps']} K={res['best_k']} val mIoU {res['best_miou']:.4f}"
           f" (K=0 val mIoU {res['miou'][0, 0]:.4f})", flush=True)
 
-    refine = make_refiner(
-        fcn8_apply, dae_apply, fcn_params, dae_params,
-        eps=res["best_eps"], num_steps=res["best_k"], h_taps=("pool4",),
-        dae_kwargs={"depth": args.dae_depth},
-    )
+    if args.engine == "half":
+        refine = make_half_refiner(
+            fcn8_apply, fcn_params, dae_params,
+            eps=res["best_eps"], num_steps=res["best_k"], h_taps=("pool4",),
+            depth=args.dae_depth,
+        )
+    else:
+        refine = make_refiner(
+            fcn8_apply, dae_apply, fcn_params, dae_params,
+            eps=res["best_eps"], num_steps=res["best_k"], h_taps=("pool4",),
+            dae_kwargs={"depth": args.dae_depth},
+        )
     cm0 = cmk = None
     for images, labels in norm(test):
         y0, yk = refine(jnp.asarray(images))
@@ -123,6 +146,7 @@ def main(argv=None) -> int:
         "delta_miou": round(float(mk.mean_iou - m0.mean_iou), 4),
         "best_eps": res["best_eps"],
         "best_k": res["best_k"],
+        "engine": args.engine,
     }
     if args.json:
         print(json.dumps(d))

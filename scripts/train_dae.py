@@ -38,6 +38,8 @@ def parse_args(argv=None):
                    help="mixed regime: probability of the noisy-GT corruption per batch "
                         "(overrides --from-fcn)")
     p.add_argument("--dae-depth", type=int, default=4)
+    p.add_argument("--dae-tail", choices=["full", "sep"], default="full",
+                   help="stem_pool=1 tail: dense CxC or separable (fused-engine ready)")
     p.add_argument("--dae-stem-pool", type=int, default=0,
                    help="pool the input map N times before the encoder (TPU latency opt)")
     p.add_argument("--arch", default="dae", choices=["dae", "contextmod"],
@@ -151,6 +153,7 @@ def main(argv=None) -> int:
         from_gt=args.gt_mix if args.gt_mix is not None else (not args.from_fcn),
         dae_depth=args.dae_depth,
         dae_stem_pool=args.dae_stem_pool,
+        dae_tail=args.dae_tail,
         arch=args.arch,
         workdir=workdir,
         augment=not args.no_augment,

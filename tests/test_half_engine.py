@@ -1,0 +1,105 @@
+"""Half-resolution refinement engine (the throughput configuration)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iterative_inference_segm_tpu.models import init_fcn8, fcn8_apply
+from iterative_inference_segm_tpu.models.dae import init_dae, dae_core
+from iterative_inference_segm_tpu.inference.fused import (
+    full_logits,
+    half_logits,
+    halfres_refinement_scan,
+    make_half_refiner,
+)
+from iterative_inference_segm_tpu.inference.search import grid_search_eps_k_half
+from iterative_inference_segm_tpu.ops.conv import avg_pool
+
+C = 5
+
+
+def _dae(tail):
+    return init_dae(
+        jax.random.PRNGKey(1), n_classes=C, h_specs={"pool4": 512}, depth=3,
+        stem_pool=1, tail=tail, widths=(8, 16, 32),
+    )
+
+
+def _setup(tail="full"):
+    fcn = init_fcn8(jax.random.PRNGKey(0), n_classes=C, fc_channels=16)
+    dae = _dae(tail)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 48, 64, 3))
+    return fcn, dae, x
+
+
+@pytest.mark.parametrize("tail", ["full", "sep"])
+def test_half_refiner_runs_and_moves_iterate(tail):
+    fcn, dae, x = _setup(tail)
+    refine = make_half_refiner(fcn8_apply, fcn, dae, eps=0.3, num_steps=3,
+                               h_taps=("pool4",), depth=3)
+    y0, yk = refine(x)
+    assert yk.shape == y0.shape == (2, 48, 64, C)
+    assert np.isfinite(np.asarray(yk, np.float32)).all()
+    # probability-map-ish output (convex blend of y0 and a softmax)
+    assert float(jnp.abs(jnp.sum(yk, -1) - 1.0).max()) < 1e-3
+    assert float(jnp.abs(yk - y0).max()) > 1e-5
+
+
+def test_half_engine_k0_is_one_rectification_not_identity():
+    """num_steps=0 applies exactly one full-res rectification from x_0."""
+    fcn, dae, x = _setup()
+    y0, h = fcn8_apply(fcn, x, return_features=("pool4",))
+    core_fn = lambda xx: dae_core(dae, xx, h, depth=3, stem_pool=1)
+    got = halfres_refinement_scan(dae, core_fn, y0, eps=0.25, num_steps=0)
+
+    x0 = avg_pool(y0, window=2, stride=2)
+    s0 = core_fn(x0)
+    r = jax.nn.softmax(full_logits(dae, s0, y0), -1)
+    want = y0 - 0.25 * (y0 - r)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_half_engine_rejects_odd_and_wrong_stem():
+    fcn, dae, _ = _setup()
+    y_odd = jnp.zeros((1, 47, 64, C))
+    with pytest.raises(ValueError):
+        halfres_refinement_scan(dae, lambda x: x, y_odd, eps=0.1, num_steps=1)
+    dae0 = init_dae(jax.random.PRNGKey(1), n_classes=C, h_specs={"pool4": 512},
+                    depth=4, stem_pool=0)
+    with pytest.raises(ValueError):
+        halfres_refinement_scan(dae0, lambda x: x, jnp.zeros((1, 48, 64, C)),
+                                eps=0.1, num_steps=1)
+
+
+def test_half_logits_match_general_tail_at_half_res():
+    """For the 'full' tail, half_logits == s + score_input conv (definition)."""
+    from iterative_inference_segm_tpu.ops.conv import conv2d
+
+    dae = _dae("full")
+    x = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(3), (2, 8, 12, C)), -1)
+    s = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 12, C))
+    got = half_logits(dae, x, s)
+    p = dae["score_input"]
+    want = s + conv2d(x, p["w"], p["b"], padding="SAME")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_half_search_scores_match_engine():
+    """Search row k must equal running the engine with num_steps=k."""
+    from iterative_inference_segm_tpu.ops.metrics import confusion_matrix, metrics_from_confusion
+
+    fcn, dae, x = _setup()
+    labels = jax.random.randint(jax.random.PRNGKey(5), (2, 48, 64), 0, C)
+    res = grid_search_eps_k_half(
+        fcn8_apply, fcn, dae, [(np.asarray(x), np.asarray(labels))],
+        n_classes=C, eps_grid=[0.3], k_max=2, h_taps=("pool4",), depth=3,
+    )
+    assert res["miou"].shape == (1, 3)
+    for k in range(3):
+        refine = make_half_refiner(fcn8_apply, fcn, dae, eps=0.3, num_steps=k,
+                                   h_taps=("pool4",), depth=3)
+        _, yk = refine(x)
+        cm = confusion_matrix(jnp.argmax(yk, -1), labels, n_classes=C)
+        miou = float(metrics_from_confusion(cm).mean_iou)
+        np.testing.assert_allclose(res["miou"][0, k], miou, atol=1e-6)
