@@ -48,6 +48,10 @@ def main(argv=None) -> int:
     p.add_argument("--dae-widths", nargs="*", type=int, default=None)
     p.add_argument("--k-max", type=int, default=8)
     p.add_argument("--eps-grid", nargs="*", type=float, default=[0.05, 0.1, 0.2, 0.4, 0.7, 1.0])
+    p.add_argument("--mode", choices=["score", "energy"], default="score",
+                   help="refinement update rule (general engine): 'score' = "
+                        "direct Alain-Bengio estimate; 'energy' = jax.grad "
+                        "through the DAE energy (the reference's T.grad form)")
     p.add_argument("--engine", choices=["general", "half"], default="general",
                    help="refinement engine for search+eval: 'half' = the "
                         "throughput configuration (K pooled-map steps + one "
@@ -114,7 +118,7 @@ def main(argv=None) -> int:
         res = grid_search_eps_k(
             fcn8_apply, dae_apply, fcn_params, dae_params, norm(val),
             n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,
-            h_taps=("pool4",), dae_kwargs={"depth": args.dae_depth},
+            h_taps=("pool4",), mode=args.mode, dae_kwargs={"depth": args.dae_depth},
         )
     print(f"  best eps={res['best_eps']} K={res['best_k']} val mIoU {res['best_miou']:.4f}"
           f" (K=0 val mIoU {res['miou'][0, 0]:.4f})", flush=True)
@@ -129,7 +133,7 @@ def main(argv=None) -> int:
         refine = make_refiner(
             fcn8_apply, dae_apply, fcn_params, dae_params,
             eps=res["best_eps"], num_steps=res["best_k"], h_taps=("pool4",),
-            dae_kwargs={"depth": args.dae_depth},
+            mode=args.mode, dae_kwargs={"depth": args.dae_depth},
         )
     cm0 = cmk = None
     for images, labels in norm(test):
@@ -147,6 +151,7 @@ def main(argv=None) -> int:
         "best_eps": res["best_eps"],
         "best_k": res["best_k"],
         "engine": args.engine,
+        "mode": args.mode,
     }
     if args.json:
         print(json.dumps(d))

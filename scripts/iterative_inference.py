@@ -36,6 +36,10 @@ def parse_args(argv=None):
     p.add_argument("--epsilon", type=float, default=0.1)
     p.add_argument("--num-steps", type=int, default=5)
     p.add_argument("--mode", default="score", choices=["score", "energy"])
+    p.add_argument("--engine", default="general", choices=["general", "half"],
+                   help="'half' = throughput engine (K pooled-map steps + one "
+                        "full-res rectification; requires --dae-stem-pool 1, "
+                        "score mode; see ARCHITECTURE.md)")
     p.add_argument("--renorm", default="none", choices=["none", "softmax"])
     p.add_argument("--search", action="store_true", help="grid-search (eps, K) on val first")
     p.add_argument("--eps-grid", nargs="*", type=float, default=[0.02, 0.05, 0.1, 0.2])
@@ -137,14 +141,28 @@ def main(argv=None) -> int:
         val_batches = norm_batches(va_i, va_l)
         test_batches = norm_batches(te_i, te_l)
 
+    if args.engine == "half" and (
+        args.dae_stem_pool != 1 or args.mode != "score" or args.arch != "dae"
+    ):
+        raise SystemExit("--engine half requires --dae-stem-pool 1, --mode score, --arch dae")
+
     eps, num_steps = args.epsilon, args.num_steps
     if args.search:
-        res = grid_search_eps_k(
-            fcn8_apply, score_apply, fcn_params, dae_params, val_batches,
-            n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,
-            h_taps=tuple(args.concat_h), mode=args.mode, renorm=args.renorm,
-            dae_kwargs=score_kwargs,
-        )
+        if args.engine == "half":
+            from iterative_inference_segm_tpu.inference.search import grid_search_eps_k_half
+
+            res = grid_search_eps_k_half(
+                fcn8_apply, fcn_params, dae_params, val_batches,
+                n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,
+                h_taps=tuple(args.concat_h), depth=args.dae_depth,
+            )
+        else:
+            res = grid_search_eps_k(
+                fcn8_apply, score_apply, fcn_params, dae_params, val_batches,
+                n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,
+                h_taps=tuple(args.concat_h), mode=args.mode, renorm=args.renorm,
+                dae_kwargs=score_kwargs,
+            )
         eps, num_steps = res["best_eps"], res["best_k"]
         print(f"val search: best eps={eps} K={num_steps} (val mIoU {res['best_miou']:.4f})")
 
@@ -152,12 +170,21 @@ def main(argv=None) -> int:
     # num_steps=0 is honest (search may pick K=0 when the FCN has no
     # headroom): the scan has length 0 and yk == y0 — never report a 1-step
     # result as K=0 (ADVICE r1).
-    refine = make_refiner(
-        fcn8_apply, score_apply, fcn_params, dae_params,
-        eps=eps, num_steps=num_steps, h_taps=tuple(args.concat_h),
-        mode=args.mode, renorm=args.renorm, compute_dtype=compute_dtype,
-        dae_kwargs=score_kwargs,
-    )
+    if args.engine == "half":
+        from iterative_inference_segm_tpu.inference.fused import make_half_refiner
+
+        refine = make_half_refiner(
+            fcn8_apply, fcn_params, dae_params,
+            eps=eps, num_steps=num_steps, h_taps=tuple(args.concat_h),
+            depth=args.dae_depth, compute_dtype=compute_dtype,
+        )
+    else:
+        refine = make_refiner(
+            fcn8_apply, score_apply, fcn_params, dae_params,
+            eps=eps, num_steps=num_steps, h_taps=tuple(args.concat_h),
+            mode=args.mode, renorm=args.renorm, compute_dtype=compute_dtype,
+            dae_kwargs=score_kwargs,
+        )
 
     if args.dump_dir and args.dump_trajectory and test_batches:
         from iterative_inference_segm_tpu.inference.iterative import refine_with_trajectory
@@ -210,11 +237,14 @@ def main(argv=None) -> int:
 
     m0 = metrics_from_confusion(cm0)
     mk = metrics_from_confusion(cmk)
-    refined_label = (
-        f"step {num_steps} (refined)"
-        if num_steps > 0
-        else "step 0 (search chose K=0; no refinement applied)"
-    )
+    if args.engine == "half":
+        # half-engine K counts pooled-map steps; K=0 still applies the one
+        # full-res rectification, so it IS a refinement pass
+        refined_label = f"K={num_steps}+rectify (half engine)"
+    elif num_steps > 0:
+        refined_label = f"step {num_steps} (refined)"
+    else:
+        refined_label = "step 0 (search chose K=0; no refinement applied)"
     print(f"step 0 (FCN-8 baseline): mIoU {float(m0.mean_iou):.4f} acc {float(m0.pixel_accuracy):.4f}")
     print(f"{refined_label}:     mIoU {float(mk.mean_iou):.4f} acc {float(mk.pixel_accuracy):.4f}")
     print("per-class IoU (k=0 -> k=K):")
