@@ -26,9 +26,9 @@ import os
 import sys
 import time
 
-# Ratchet: round 1 measured 0.512x; round 2 landed the fused-tail/bf16-state
-# refinement work. Raise this whenever a round's bench beats it with margin.
-PERF_FLOOR = 0.5
+# Ratchet: round 1 measured 0.512x; round 2's half engine + bf16 carry
+# measures 0.68x. Raise this whenever a round's bench beats it with margin.
+PERF_FLOOR = 0.6
 
 
 def main() -> int:
@@ -120,7 +120,8 @@ def main() -> int:
         @jax.jit
         def pipeline(fcn_params, dae_params, x):
             y0, h = fcn8_apply(
-                fcn_params, x, return_features=("pool4",), compute_dtype=compute_dtype
+                fcn_params, x, return_features=("pool4",), compute_dtype=compute_dtype,
+                probs_dtype=state_dtype,
             )
             core_fn = lambda yp: dae_core(
                 dae_params, yp.astype(compute_dtype), h,

@@ -252,15 +252,23 @@ def halfres_refinement_scan(
 
     def step(x, _):
         s = core_fn(x).astype(state_dtype)
-        r = jax.nn.softmax(half_logits(params, x, s).astype(jnp.float32), -1).astype(state_dtype)
+        # softmax at state_dtype: jax.nn.softmax subtracts the max first, so
+        # bf16 logits stay in range; bf16 probabilities carry ~2-3 decimal
+        # digits, plenty for a blend that feeds an argmax. Accuracy of the
+        # full bf16 configuration is demo-verified (ARCHITECTURE.md).
+        r = jax.nn.softmax(half_logits(params, x, s), -1)
         return x - eps_s * (x - r), None
 
     x_k, _ = lax.scan(step, x0, None, length=num_steps)
 
+    # Final rectification runs at state_dtype end-to-end: with a bf16 state
+    # this halves the full-res HBM passes of the one expensive step. The
+    # result is returned at state_dtype; the consumer is an argmax (or a
+    # metrics pass), neither of which needs f32.
     s_k = core_fn(x_k).astype(state_dtype)
-    r_full = jax.nn.softmax(full_logits(params, s_k, y0.astype(state_dtype)).astype(jnp.float32), -1)
-    y_final = y0.astype(jnp.float32) - jnp.float32(eps) * (y0.astype(jnp.float32) - r_full)
-    return y_final.astype(y0.dtype)
+    y0s = y0.astype(state_dtype)
+    r_full = jax.nn.softmax(full_logits(params, s_k, y0s), -1)
+    return y0s - eps_s * (y0s - r_full)
 
 
 def make_half_refiner(

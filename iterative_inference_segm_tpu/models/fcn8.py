@@ -102,6 +102,7 @@ def fcn8_apply(
     dropout_rng: jax.Array | None = None,
     dropout_rate: float = 0.5,
     compute_dtype=jnp.float32,
+    probs_dtype=jnp.float32,
 ) -> tuple[jax.Array, dict]:
     """FCN-8 forward pass.
 
@@ -112,6 +113,11 @@ def fcn8_apply(
 
     Dropout after fc6/fc7 is applied only when ``dropout_rng`` is given
     (training), matching the reference's DropoutLayer placement.
+
+    ``probs_dtype``: output dtype of the softmax (normalization itself is
+    always f32). The throughput pipeline passes bf16 so the full-res
+    probability map is written once at the refinement carry's dtype instead
+    of materializing f32 and re-casting.
     """
     feats: dict = {}
     want = set(return_features)
@@ -185,7 +191,7 @@ def fcn8_apply(
 
     if "score" in want:
         feats["score"] = logits
-    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1).astype(probs_dtype)
     if "probs" in want:
         feats["probs"] = probs
     return probs, feats

@@ -56,6 +56,9 @@ def main(argv=None) -> int:
                    help="refinement engine for search+eval: 'half' = the "
                         "throughput configuration (K pooled-map steps + one "
                         "full-res rectification; requires --dae-stem-pool 1)")
+    p.add_argument("--bf16", action="store_true",
+                   help="run search+eval refinement at bf16 compute/state "
+                        "(the benched throughput configuration)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true", help="print one JSON result line")
     args = p.parse_args(argv)
@@ -123,17 +126,18 @@ def main(argv=None) -> int:
     print(f"  best eps={res['best_eps']} K={res['best_k']} val mIoU {res['best_miou']:.4f}"
           f" (K=0 val mIoU {res['miou'][0, 0]:.4f})", flush=True)
 
+    cd = jnp.bfloat16 if args.bf16 else jnp.float32
     if args.engine == "half":
         refine = make_half_refiner(
             fcn8_apply, fcn_params, dae_params,
             eps=res["best_eps"], num_steps=res["best_k"], h_taps=("pool4",),
-            depth=args.dae_depth,
+            depth=args.dae_depth, compute_dtype=cd,
         )
     else:
         refine = make_refiner(
             fcn8_apply, dae_apply, fcn_params, dae_params,
             eps=res["best_eps"], num_steps=res["best_k"], h_taps=("pool4",),
-            mode=args.mode, dae_kwargs={"depth": args.dae_depth},
+            mode=args.mode, compute_dtype=cd, dae_kwargs={"depth": args.dae_depth},
         )
     cm0 = cmk = None
     for images, labels in norm(test):
