@@ -117,15 +117,21 @@ def main() -> int:
             halfres_refinement_scan if args.engine == "half" else fused_refinement_scan
         )
 
+        from iterative_inference_segm_tpu.models.dae import precompute_bottleneck_h
+
         @jax.jit
         def pipeline(fcn_params, dae_params, x):
             y0, h = fcn8_apply(
                 fcn_params, x, return_features=("pool4",), compute_dtype=compute_dtype,
                 probs_dtype=state_dtype,
             )
+            bh = precompute_bottleneck_h(
+                dae_params, h, depth=args.dae_depth, stem_pool=1,
+                in_hw=(x.shape[1] // 2, x.shape[2] // 2),
+            )
             core_fn = lambda yp: dae_core(
-                dae_params, yp.astype(compute_dtype), h,
-                depth=args.dae_depth, stem_pool=1,
+                dae_params, yp.astype(compute_dtype), bh[2],
+                depth=args.dae_depth, stem_pool=1, bottleneck_h=bh,
             )
             y_k = scan_impl(
                 dae_params, core_fn, y0, eps=0.1, num_steps=args.steps,

@@ -287,13 +287,20 @@ def make_half_refiner(
 
     @jax.jit
     def refine(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        from iterative_inference_segm_tpu.models.dae import precompute_bottleneck_h
+
         y0, h = fcn_apply(
             fcn_params, x, return_features=h_taps, compute_dtype=compute_dtype
+        )
+        bh = precompute_bottleneck_h(
+            dae_params, h, depth=depth, stem_pool=1,
+            in_hw=(x.shape[1] // 2, x.shape[2] // 2),
         )
 
         def core_fn(x_half):
             return dae_core(
-                dae_params, x_half.astype(compute_dtype), h, depth=depth, stem_pool=1
+                dae_params, x_half.astype(compute_dtype), bh[2],
+                depth=depth, stem_pool=1, bottleneck_h=bh,
             )
 
         y_k = halfres_refinement_scan(

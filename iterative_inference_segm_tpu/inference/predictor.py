@@ -38,6 +38,7 @@ class Predictor:
         num_steps: int = 5,
         h_taps: tuple[str, ...] = ("pool4",),
         mode: str = "score",
+        engine: str = "general",
         batch_size: int = 8,
         compute_dtype=jnp.bfloat16,
         normalize: bool = True,
@@ -48,7 +49,11 @@ class Predictor:
         self._fcn = fcn_params
         self._dae = dae_params
         dae_kwargs = dict(dae_kwargs or {})
-        refine = dae_params is not None and num_steps > 0
+        refine = dae_params is not None and (num_steps > 0 or engine == "half")
+        if engine not in ("general", "half"):
+            raise ValueError(f"unknown engine {engine!r}; expected 'general' or 'half'")
+        if engine == "half" and mode != "score":
+            raise ValueError("engine='half' serves score mode only")
 
         def _predict(fcn_params, dae_params, x):
             if normalize:
@@ -56,14 +61,29 @@ class Predictor:
             y0, h = fcn8_apply(
                 fcn_params, x, return_features=h_taps if refine else (),
                 compute_dtype=compute_dtype,
+                probs_dtype=compute_dtype if engine == "half" else jnp.float32,
             )
             y = y0
-            if refine:
+            if refine and engine == "half":
+                from iterative_inference_segm_tpu.inference.fused import (
+                    halfres_refinement_scan,
+                )
+                from iterative_inference_segm_tpu.models.dae import dae_core
+
+                core_fn = lambda xx: dae_core(
+                    dae_params, xx.astype(compute_dtype), h,
+                    depth=dae_kwargs.get("depth", 4), stem_pool=1,
+                )
+                y = halfres_refinement_scan(
+                    dae_params, core_fn, y0, eps=eps, num_steps=num_steps,
+                    state_dtype=compute_dtype,
+                )
+            elif refine:
                 dae_fn = lambda yy: dae_apply(
                     dae_params, yy, h, compute_dtype=compute_dtype, **dae_kwargs
                 )
                 y = refinement_scan(dae_fn, y0, eps=eps, num_steps=num_steps, mode=mode)
-            return jnp.argmax(y, axis=-1).astype(jnp.int32), y
+            return jnp.argmax(y, axis=-1).astype(jnp.int32), y.astype(jnp.float32)
 
         self._predict = jax.jit(_predict)
 
@@ -103,8 +123,10 @@ class Predictor:
         )
 
     def predict(self, images: np.ndarray, *, return_probs: bool = False):
-        """images: (N, H, W, C) float in [0,1] (or [0,255]). Returns
-        (N, H, W) int32 labels [, (N, H, W, n_classes) f32 probs]."""
+        """images: (N, H, W, C) float in [0,1] (the repo-wide convention;
+        scale byte-range input yourself or via normalize_image's
+        input_scale). Returns (N, H, W) int32 labels
+        [, (N, H, W, n_classes) f32 probs]."""
         images = np.asarray(images, np.float32)
         n = images.shape[0]
         labels_out = []

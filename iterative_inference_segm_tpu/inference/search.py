@@ -112,8 +112,15 @@ def grid_search_eps_k_half(
         y0, h = fcn_apply(
             fcn_params, x_img, return_features=h_taps, compute_dtype=compute_dtype
         )
+        from iterative_inference_segm_tpu.models.dae import precompute_bottleneck_h
+
+        bh = precompute_bottleneck_h(
+            dae_params, h, depth=depth, stem_pool=1,
+            in_hw=(x_img.shape[1] // 2, x_img.shape[2] // 2),
+        )
         core_fn = lambda xx: dae_core(
-            dae_params, xx.astype(compute_dtype), h, depth=depth, stem_pool=1
+            dae_params, xx.astype(compute_dtype), bh[2],
+            depth=depth, stem_pool=1, bottleneck_h=bh,
         )
         x0 = avg_pool(y0, window=2, stride=2)
 

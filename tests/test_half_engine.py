@@ -85,6 +85,24 @@ def test_half_logits_match_general_tail_at_half_res():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
 
 
+def test_precomputed_bottleneck_h_is_exact():
+    """conv(concat(x, h), W) == conv(x, W_x) + conv(h, W_h): the folded
+    conditioning bias is an exact reassociation (f32)."""
+    from iterative_inference_segm_tpu.models.dae import precompute_bottleneck_h
+
+    dae = _dae("full")
+    h = {"pool4": jax.random.normal(jax.random.PRNGKey(7), (2, 3, 4, 512))}
+    x_half = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(8), (2, 24, 32, C)), -1)
+
+    ref = dae_core(dae, x_half, h, depth=3, stem_pool=1)
+    bh = precompute_bottleneck_h(dae, h, depth=3, stem_pool=1, in_hw=(24, 32))
+    got = dae_core(dae, x_half, bh[2], depth=3, stem_pool=1, bottleneck_h=bh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    # no bottleneck-scale taps -> no-op passthrough
+    none_bh = precompute_bottleneck_h(dae, {}, depth=3, stem_pool=1, in_hw=(24, 32))
+    assert none_bh[0] is None
+
+
 def test_half_search_scores_match_engine():
     """Search row k must equal running the engine with num_steps=k."""
     from iterative_inference_segm_tpu.ops.metrics import confusion_matrix, metrics_from_confusion

@@ -41,6 +41,29 @@ def test_predict_with_refinement_and_probs(params):
     np.testing.assert_array_equal(labels, probs.argmax(-1))
 
 
+def test_predict_half_engine(params):
+    fcn, _ = params
+    import jax.numpy as jnp
+
+    dae1 = init_dae(jax.random.PRNGKey(2), n_classes=4, h_specs={"pool4": 512},
+                    depth=3, stem_pool=1, widths=(8, 16, 32))
+    p = Predictor(fcn, dae1, dataset=TINY, batch_size=2, num_steps=2, eps=0.3,
+                  engine="half", compute_dtype=jnp.float32,
+                  dae_kwargs={"depth": 3})
+    imgs = np.random.default_rng(2).random((2, 48, 64, 3)).astype(np.float32)
+    labels, probs = p.predict(imgs, return_probs=True)
+    assert labels.shape == (2, 48, 64)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=2e-3)
+    # half engine with num_steps=0 still rectifies (engine semantics)
+    p0 = Predictor(fcn, dae1, dataset=TINY, batch_size=2, num_steps=0, eps=0.3,
+                   engine="half", compute_dtype=jnp.float32,
+                   dae_kwargs={"depth": 3})
+    base = Predictor(fcn, None, dataset=TINY, batch_size=2, num_steps=0)
+    _, pr_rect = p0.predict(imgs, return_probs=True)
+    _, pr_base = base.predict(imgs, return_probs=True)
+    assert np.abs(pr_rect - pr_base).max() > 1e-5
+
+
 def test_predict_chunking_matches_single_shot(params):
     fcn, dae = params
     imgs = np.random.default_rng(2).random((5, 48, 64, 3)).astype(np.float32)
