@@ -35,7 +35,7 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--steps", type=int, default=5)
-    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--iters", type=int, default=20)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--height", type=int, default=360)
     p.add_argument("--width", type=int, default=480)

@@ -107,6 +107,29 @@ def test_spatial_sharding_forward(cpu_devices):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
+def test_dp_half_engine_batch_sharded(cpu_devices):
+    """The throughput (half) engine under data-parallel batch sharding:
+    output correct vs single-device and stays batch-sharded."""
+    from iterative_inference_segm_tpu.inference.fused import make_half_refiner
+
+    fcn = init_fcn8(jax.random.PRNGKey(0), n_classes=C, fc_channels=16)
+    dae = init_dae(jax.random.PRNGKey(1), n_classes=C, h_specs={"pool4": 512},
+                   depth=3, stem_pool=1, widths=(8, 16, 32))
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 48, 64, 3))
+
+    refine = make_half_refiner(fcn8_apply, fcn, dae, eps=0.3, num_steps=2,
+                               h_taps=("pool4",), depth=3)
+    y0_ref, yk_ref = refine(x)
+
+    mesh = make_mesh(("data",))
+    refine_dp = make_half_refiner(fcn8_apply, replicate(mesh, fcn), replicate(mesh, dae),
+                                  eps=0.3, num_steps=2, h_taps=("pool4",), depth=3)
+    x_s = jax.device_put(x, batch_sharding(mesh, 4))
+    y0_dp, yk_dp = refine_dp(x_s)
+    np.testing.assert_allclose(np.asarray(yk_dp), np.asarray(yk_ref), rtol=5e-4, atol=5e-5)
+    assert yk_dp.sharding.spec in (P("data"), P("data", None, None, None))
+
+
 def test_sp_sharded_refinement_matches_unsharded(cpu_devices):
     """VERDICT r1 weak #8: the refinement scan itself — fcn8_apply + K
     score steps through the DAE — sharded over the 'space' (H) axis must
