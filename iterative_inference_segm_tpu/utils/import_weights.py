@@ -188,3 +188,81 @@ def import_fcn8_reference(
     if strict and missing:
         raise KeyError(f"missing pretrained layers: {sorted(missing)}")
     return out
+
+
+# Canonical FCN-8 layer sequence in the reference's build order
+# (``[ref: models/fcn8.py]`` buildFCN8 constructs the Lasagne graph in this
+# order, and ``lasagne.layers.get_all_param_values`` returns params in build
+# order). Entries: (name, kind) with kind in conv/fc/deconv.
+FCN8_LASAGNE_ORDER = (
+    *((n, "conv") for n in VGG16_CONV_NAMES),
+    ("fc6", "fc"),
+    ("fc7", "fc"),
+    ("score_fr", "conv"),
+    ("upscore2", "deconv"),
+    ("score_pool4", "conv"),
+    ("upscore_pool4", "deconv"),
+    ("score_pool3", "conv"),
+    ("upscore8", "deconv"),
+)
+
+
+def group_lasagne_arrays(arrays, params: dict) -> dict:
+    """Group a positional Lasagne param list into the named-weights dict
+    ``import_fcn8_reference`` consumes.
+
+    The reference checkpoints with ``np.savez(*get_all_param_values(net))``
+    — a POSITIONAL list (arr_0..arr_N), not named entries. Assignment here
+    is shape-driven: walk ``FCN8_LASAGNE_ORDER`` and greedily consume
+    arrays whose shape matches the expected layer (w in OIHW/flat-FC/IOHW
+    form, optionally followed by its (out,) bias; deconvs carry no bias).
+    Shape matching makes the import robust to layers the checkpoint lacks
+    (partial checkpoints skip ahead); equal-shape layers (e.g. conv3_2 vs
+    conv3_3) resolve by order, which Lasagne's build order guarantees.
+    """
+    arrays = [np.asarray(a) for a in arrays]
+    out: dict = {}
+    i = 0
+
+    def expected_w_shapes(name: str, kind: str) -> list[tuple[int, ...]]:
+        kh, kw, cin, cout = (int(d) for d in params[name]["w"].shape)
+        if kind == "conv":
+            return [(cout, cin, kh, kw)]
+        if kind == "fc":
+            # flat FC or already-converted conv form
+            return [(cout, cin * kh * kw), (cout, cin, kh, kw)]
+        return [(cin, cout, kh, kw)]  # deconv IOHW
+
+    for name, kind in FCN8_LASAGNE_ORDER:
+        if i >= len(arrays):
+            break
+        shapes = expected_w_shapes(name, kind)
+        if tuple(arrays[i].shape) not in shapes:
+            continue  # layer absent from this checkpoint
+        w = arrays[i]
+        i += 1
+        entry = {"w": w}
+        if kind != "deconv":
+            cout = int(params[name]["w"].shape[3])
+            if i < len(arrays) and arrays[i].shape == (cout,):
+                entry["b"] = arrays[i]
+                i += 1
+        out[name] = entry
+    if i != len(arrays):
+        raise ValueError(
+            f"could not place {len(arrays) - i} trailing arrays "
+            f"(next shape {arrays[i].shape}); checkpoint order does not match "
+            "the FCN-8 build sequence"
+        )
+    return out
+
+
+def import_lasagne_npz(path, params: dict, *, strict: bool = False, flip_deconvs: bool = False) -> dict:
+    """Load a reference-era positional ``.npz`` (np.savez of
+    ``get_all_param_values``) straight into an ``init_fcn8`` pytree."""
+    data = np.load(path)
+    # np.savez positional keys are arr_0..arr_N; sort numerically
+    keys = sorted(data.files, key=lambda k: int(k.split("_")[-1]) if k.split("_")[-1].isdigit() else 10**9)
+    arrays = [data[k] for k in keys]
+    named = group_lasagne_arrays(arrays, params)
+    return import_fcn8_reference(named, params, strict=strict, flip_deconvs=flip_deconvs)

@@ -28,6 +28,10 @@ def parse_args(argv=None):
     p.add_argument("--data-root", default=None)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--fcn-npz", default=None)
+    p.add_argument("--fcn-reference-npz", default=None,
+                   help="load the FCN from a reference-era Lasagne positional "
+                        ".npz (layout conversion automatic) — the one-command "
+                        "parity check against reference weights")
     p.add_argument("--dae-npz", default=None)
     p.add_argument("--concat-h", nargs="*", default=["pool4"])
     p.add_argument("--dae-depth", type=int, default=4)
@@ -88,7 +92,14 @@ def main(argv=None) -> int:
     fcn_template = init_fcn8(
         key, n_classes=cfg.n_classes, in_channels=cfg.in_channels, fc_channels=fc_channels
     )
-    fcn_params = load_npz(args.fcn_npz, fcn_template) if args.fcn_npz else fcn_template
+    if args.fcn_reference_npz:
+        from iterative_inference_segm_tpu.utils.import_weights import import_lasagne_npz
+
+        fcn_params = import_lasagne_npz(args.fcn_reference_npz, fcn_template)
+    elif args.fcn_npz:
+        fcn_params = load_npz(args.fcn_npz, fcn_template)
+    else:
+        fcn_params = fcn_template
     if args.arch == "contextmod":
         from iterative_inference_segm_tpu.models import init_contextmod, contextmod_apply
 

@@ -34,6 +34,10 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true", help="bf16 conv compute")
     p.add_argument("--workdir", default=None)
     p.add_argument("--load-npz", default=None, help="initialize from a flat .npz export")
+    p.add_argument("--load-reference-npz", default=None,
+                   help="initialize from a reference-era Lasagne checkpoint "
+                        "(positional np.savez of get_all_param_values; OIHW/"
+                        "flat-FC/IOHW layouts converted automatically)")
     p.add_argument("--tiny", action="store_true", help="tiny model+images (CI/smoke)")
     p.add_argument("--num-train-batches", type=int, default=8, help="synthetic only")
     p.add_argument("--num-val-batches", type=int, default=2, help="synthetic only")
@@ -108,16 +112,22 @@ def main(argv=None) -> int:
         ),
     )
     params = None
-    if args.load_npz:
+    if args.load_npz or args.load_reference_npz:
         from iterative_inference_segm_tpu.models import init_fcn8
-        from iterative_inference_segm_tpu.utils.checkpoint import load_npz
         import jax
 
         template = init_fcn8(
             jax.random.PRNGKey(0), n_classes=cfg.n_classes,
             in_channels=cfg.in_channels, fc_channels=fc_channels,
         )
-        params = load_npz(args.load_npz, template)
+        if args.load_reference_npz:
+            from iterative_inference_segm_tpu.utils.import_weights import import_lasagne_npz
+
+            params = import_lasagne_npz(args.load_reference_npz, template)
+        else:
+            from iterative_inference_segm_tpu.utils.checkpoint import load_npz
+
+            params = load_npz(args.load_npz, template)
 
     import contextlib
 

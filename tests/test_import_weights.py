@@ -167,6 +167,68 @@ def test_import_fcn8_reference_conv_form_fc_and_flip():
     )
 
 
+def _positional_list(params, ckpt):
+    """Flatten the synthetic named checkpoint into Lasagne build order."""
+    from iterative_inference_segm_tpu.utils.import_weights import FCN8_LASAGNE_ORDER
+
+    arrays = []
+    for name, kind in FCN8_LASAGNE_ORDER:
+        if name not in ckpt:
+            continue
+        arrays.append(ckpt[name]["w"])
+        if kind != "deconv":
+            arrays.append(ckpt[name]["b"])
+    return arrays
+
+
+def test_import_lasagne_positional_npz_roundtrip(tmp_path):
+    """A reference-era np.savez(*get_all_param_values(net)) loads bit-for-bit
+    via shape-driven positional grouping."""
+    from iterative_inference_segm_tpu.utils.import_weights import import_lasagne_npz
+
+    params = init_fcn8(jax.random.PRNGKey(0), n_classes=3, fc_channels=8)
+    ckpt = _synthetic_reference_checkpoint(params, np.random.default_rng(5))
+    arrays = _positional_list(params, ckpt)
+    np.savez(tmp_path / "ref.npz", *arrays)
+
+    merged = import_lasagne_npz(tmp_path / "ref.npz", params, strict=True)
+    want = import_fcn8_reference(ckpt, params, strict=True)
+    assert sorted(merged) == sorted(want)
+    for name in want:
+        assert sorted(merged[name]) == sorted(want[name])
+        for leaf in want[name]:
+            np.testing.assert_array_equal(
+                np.asarray(merged[name][leaf]), np.asarray(want[name][leaf])
+            )
+
+
+def test_import_lasagne_partial_vgg_only(tmp_path):
+    """A VGG-only pretraining checkpoint (the reference's init path) places
+    only the conv stack; heads keep their init."""
+    from iterative_inference_segm_tpu.utils.import_weights import import_lasagne_npz
+
+    params = init_fcn8(jax.random.PRNGKey(0), n_classes=3, fc_channels=8)
+    ckpt = _synthetic_reference_checkpoint(params, np.random.default_rng(6))
+    vgg_only = {n: ckpt[n] for n in VGG16_CONV_NAMES}
+    np.savez(tmp_path / "vgg.npz", *_positional_list(params, vgg_only))
+    merged = import_lasagne_npz(tmp_path / "vgg.npz", params)
+    np.testing.assert_array_equal(
+        np.asarray(merged["conv5_3"]["w"]), oihw_to_hwio(ckpt["conv5_3"]["w"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(merged["score_fr"]["w"]), np.asarray(params["score_fr"]["w"])
+    )
+
+
+def test_import_lasagne_rejects_garbage(tmp_path):
+    from iterative_inference_segm_tpu.utils.import_weights import import_lasagne_npz
+
+    params = init_fcn8(jax.random.PRNGKey(0), n_classes=3, fc_channels=8)
+    np.savez(tmp_path / "bad.npz", np.zeros((7, 7, 7)))
+    with pytest.raises(ValueError):
+        import_lasagne_npz(tmp_path / "bad.npz", params)
+
+
 def test_fc_to_conv1x1_hwio_order():
     w = np.arange(6, dtype=np.float32).reshape(2, 3)  # (out=2, in=3)
     conv = fc_to_conv1x1_hwio(w)
