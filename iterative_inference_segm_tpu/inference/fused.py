@@ -285,8 +285,10 @@ def make_half_refiner(
 ) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]:
     """Jitted image batch -> (y0, yK) via the half-resolution engine."""
 
+    # params as jit ARGUMENTS — closures over weights exceed the device
+    # relay's compile-request limit for real-size models (CLAUDE.md)
     @jax.jit
-    def refine(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def _refine(fcn_params, dae_params, x):
         from iterative_inference_segm_tpu.models.dae import precompute_bottleneck_h
 
         y0, h = fcn_apply(
@@ -308,6 +310,9 @@ def make_half_refiner(
             state_dtype=state_dtype or compute_dtype,
         )
         return y0, y_k
+
+    def refine(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        return _refine(fcn_params, dae_params, x)
 
     return refine
 
@@ -334,7 +339,7 @@ def make_fused_refiner(
         raise ValueError("fused refiner requires a stem_pool=1, tail='sep' DAE")
 
     @jax.jit
-    def refine(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def _refine(fcn_params, dae_params, x):
         y0, h = fcn_apply(
             fcn_params, x, return_features=h_taps, compute_dtype=compute_dtype
         )
@@ -351,5 +356,8 @@ def make_fused_refiner(
             state_dtype=state_dtype or compute_dtype,
         )
         return y0, y_k
+
+    def refine(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        return _refine(fcn_params, dae_params, x)
 
     return refine

@@ -143,8 +143,12 @@ def make_refiner(
     dae_kwargs = dict(dae_kwargs or {})
     dae_kwargs.setdefault("compute_dtype", compute_dtype)
 
+    # params enter the jitted program as ARGUMENTS (the returned closure
+    # binds them at call time): closing over them would bake the weights
+    # into the compile request as constants, which the device relay rejects
+    # for real-size models (HTTP 413) — see CLAUDE.md.
     @jax.jit
-    def refine(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def _refine(fcn_params, dae_params, x):
         y0, h = fcn_apply(
             fcn_params, x, return_features=h_taps, compute_dtype=compute_dtype
         )
@@ -153,5 +157,8 @@ def make_refiner(
             dae_fn, y0, eps=eps, num_steps=num_steps, mode=mode, renorm=renorm
         )
         return y0, y_k
+
+    def refine(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        return _refine(fcn_params, dae_params, x)
 
     return refine

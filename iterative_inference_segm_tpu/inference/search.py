@@ -47,8 +47,11 @@ def grid_search_eps_k(
     batches = list(batches)
     dae_kwargs = dict(dae_kwargs or {})
 
+    # params are jit ARGUMENTS: closing over them bakes the weights into the
+    # compile request as constants, which the device relay rejects for
+    # real-size models (HTTP 413) — see CLAUDE.md.
     @jax.jit
-    def trajectory_cms(eps: jax.Array, x: jax.Array, labels: jax.Array) -> jax.Array:
+    def trajectory_cms(fcn_params, dae_params, eps: jax.Array, x: jax.Array, labels: jax.Array) -> jax.Array:
         y0, h = fcn_apply(fcn_params, x, return_features=h_taps)
         dae_fn = lambda y: dae_apply(dae_params, y, h, **dae_kwargs)
         traj = refine_with_trajectory(
@@ -63,7 +66,10 @@ def grid_search_eps_k(
     for ei, eps in enumerate(eps_grid):
         cms = None
         for x, labels in batches:
-            c = trajectory_cms(jnp.asarray(eps, jnp.float32), jnp.asarray(x), jnp.asarray(labels))
+            c = trajectory_cms(
+                fcn_params, dae_params,
+                jnp.asarray(eps, jnp.float32), jnp.asarray(x), jnp.asarray(labels),
+            )
             cms = c if cms is None else cms + c
         cms = jax.device_get(cms)
         for k in range(k_max + 1):
@@ -108,7 +114,7 @@ def grid_search_eps_k_half(
     batches = list(batches)
 
     @jax.jit
-    def scan_cms(eps: jax.Array, x_img: jax.Array, labels: jax.Array) -> jax.Array:
+    def scan_cms(fcn_params, dae_params, eps: jax.Array, x_img: jax.Array, labels: jax.Array) -> jax.Array:
         y0, h = fcn_apply(
             fcn_params, x_img, return_features=h_taps, compute_dtype=compute_dtype
         )
@@ -142,7 +148,10 @@ def grid_search_eps_k_half(
     for ei, eps in enumerate(eps_grid):
         cms = None
         for x, labels in batches:
-            c = scan_cms(jnp.asarray(eps, jnp.float32), jnp.asarray(x), jnp.asarray(labels))
+            c = scan_cms(
+                fcn_params, dae_params,
+                jnp.asarray(eps, jnp.float32), jnp.asarray(x), jnp.asarray(labels),
+            )
             cms = c if cms is None else cms + c
         cms = jax.device_get(cms)
         for k in range(k_max + 1):

@@ -203,17 +203,20 @@ def main(argv=None) -> int:
 
         images0, _ = test_batches[0]
 
+        # params as jit arguments (closures over weights 413 the relay)
         @jax.jit
-        def traj_fn(x):
-            y0, h = fcn8_apply(fcn_params, x, return_features=tuple(args.concat_h),
+        def traj_fn(fcn_p, dae_p, x):
+            y0, h = fcn8_apply(fcn_p, x, return_features=tuple(args.concat_h),
                                compute_dtype=compute_dtype)
-            dae_fn = lambda y: score_apply(dae_params, y, h, **score_kwargs)
+            dae_fn = lambda y: score_apply(dae_p, y, h, **score_kwargs)
             return refine_with_trajectory(
                 dae_fn, y0, eps=eps, num_steps=num_steps,
                 mode=args.mode, renorm=args.renorm,
             )
 
-        traj = np.asarray(traj_fn(jnp.asarray(images0)).argmax(-1))  # (K+1, B, H, W)
+        traj = np.asarray(
+            traj_fn(fcn_params, dae_params, jnp.asarray(images0)).argmax(-1)
+        )  # (K+1, B, H, W)
         os.makedirs(args.dump_dir, exist_ok=True)
         for k in range(traj.shape[0]):
             for j in range(traj.shape[1]):
