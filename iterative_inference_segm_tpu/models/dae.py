@@ -111,10 +111,13 @@ def init_dae(
     * ``'sep'``  — separable: DEPTHWISE 4x4 bilinear-init upsampler +
       depthwise 3x3 on the raw map + one shared 1x1 channel mix. Same
       expressive role, but every full-res op is per-channel, which is what
-      the fused Pallas refinement-step kernel (ops/pallas/refine_tail_kernel)
-      needs to run the tail entirely on the VPU in one VMEM pass with
-      classes on sublanes. Init: bilinear up + identity passthrough + identity
-      mix, so step 0 of training already computes logits = up(s) + y.
+      the phase-major engine (inference/fused.fused_refinement_scan) needs
+      to express the tail as shift-and-add slab arithmetic. (A fully fused
+      Pallas tail kernel was prototyped and rejected on measurement —
+      Mosaic's lane-shift/cross-sublane lowerings cost ~30x a vreg FMA;
+      see tools/vpu_probe.py and ARCHITECTURE.md.) Init: bilinear up +
+      identity passthrough + identity mix, so step 0 of training already
+      computes logits = up(s) + y.
     """
     if tail not in ("full", "sep"):
         raise ValueError(f"unknown tail {tail!r}; expected 'full' or 'sep'")
@@ -316,9 +319,9 @@ def dae_septail_logits(params: dict, s: jax.Array, y: jax.Array) -> jax.Array:
     """Separable tail, XLA composition: logits = mix(up_dw(s) + dw3x3(y)) + b.
 
     ``s`` is the half-res score map from ``dae_core``; ``y`` the full-res
-    input probability map (already at compute dtype). Differentiable — this
-    is the path DAE training and energy mode use; the score-mode inference
-    hot loop runs the same math fused in ops/pallas/refine_tail_kernel.
+    input probability map (already at compute dtype). Differentiable — DAE
+    training, energy mode, and the score-mode engines all run this same
+    math (the phase-major engine re-lays it out; see inference/fused.py).
     """
     u = conv_transpose2d_depthwise(s, params["up_stem_dw"]["w"], stride=2)
     u = crop_to(u, y.shape[1], y.shape[2])
