@@ -7,7 +7,10 @@ refinement) behind a single object:
 * loads weights from flat-npz exports (``utils.checkpoint``) or takes pytrees,
 * compiles ONE fixed-batch XLA program (static shapes; arbitrary request
   sizes are chunked and zero-padded to the compiled batch),
-* returns integer label maps (+ optionally probabilities).
+* returns integer label maps (+ optionally probabilities),
+* optionally shards each compiled batch over a ``jax.sharding.Mesh``
+  ('data' axis, params replicated) — multi-chip serving is the same jitted
+  program with NamedSharding-annotated inputs; XLA partitions it over ICI.
 
 All compute (FCN forward, K-step refinement scan, argmax) runs in one jitted
 program per chunk.
@@ -43,9 +46,26 @@ class Predictor:
         compute_dtype=jnp.bfloat16,
         normalize: bool = True,
         dae_kwargs: Mapping | None = None,
+        mesh=None,
     ):
         self.cfg = dataset
         self.batch_size = batch_size
+        self._mesh = mesh
+        if mesh is not None:
+            from iterative_inference_segm_tpu.parallel.sharding import (
+                batch_sharding,
+                replicate,
+            )
+
+            n_dp = mesh.shape["data"]
+            if batch_size % n_dp:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by mesh 'data' size {n_dp}"
+                )
+            fcn_params = replicate(mesh, fcn_params)
+            if dae_params is not None:
+                dae_params = replicate(mesh, dae_params)
+            self._x_sharding = batch_sharding(mesh, 4)
         self._fcn = fcn_params
         self._dae = dae_params
         dae_kwargs = dict(dae_kwargs or {})
@@ -68,11 +88,21 @@ class Predictor:
                 from iterative_inference_segm_tpu.inference.fused import (
                     halfres_refinement_scan,
                 )
-                from iterative_inference_segm_tpu.models.dae import dae_core
+                from iterative_inference_segm_tpu.models.dae import (
+                    dae_core,
+                    precompute_bottleneck_h,
+                )
 
+                depth = dae_kwargs.get("depth", 4)
+                # fold loop-invariant bottleneck conditioning into a bias —
+                # same optimization the bench pipeline and make_half_refiner use
+                bh = precompute_bottleneck_h(
+                    dae_params, h, depth=depth, stem_pool=1,
+                    in_hw=(x.shape[1] // 2, x.shape[2] // 2),
+                )
                 core_fn = lambda xx: dae_core(
-                    dae_params, xx.astype(compute_dtype), h,
-                    depth=dae_kwargs.get("depth", 4), stem_pool=1,
+                    dae_params, xx.astype(compute_dtype), bh[2],
+                    depth=depth, stem_pool=1, bottleneck_h=bh,
                 )
                 y = halfres_refinement_scan(
                     dae_params, core_fn, y0, eps=eps, num_steps=num_steps,
@@ -137,7 +167,10 @@ class Predictor:
             if got < self.batch_size:
                 pad = np.zeros((self.batch_size - got, *chunk.shape[1:]), np.float32)
                 chunk = np.concatenate([chunk, pad])
-            lab, probs = self._predict(self._fcn, self._dae, jnp.asarray(chunk))
+            xj = jnp.asarray(chunk)
+            if self._mesh is not None:
+                xj = jax.device_put(xj, self._x_sharding)
+            lab, probs = self._predict(self._fcn, self._dae, xj)
             labels_out.append(np.asarray(lab)[:got])
             if return_probs:
                 probs_out.append(np.asarray(probs)[:got])

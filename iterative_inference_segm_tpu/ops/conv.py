@@ -323,7 +323,21 @@ def max_pool(
 
 
 def avg_pool(x: jax.Array, *, window: int = 2, stride: int = 2) -> jax.Array:
-    """Average pooling (VALID), used by DAE variants."""
+    """Average pooling (VALID), used by DAE variants.
+
+    For small channel counts (the class-map stem pools) this runs as a
+    window x window stride-s convolution with an identity-expanded kernel:
+    measured ~1.4x faster than ``lax.reduce_window`` on v5e for the
+    (360,480,11) bf16 stem pool (tools/tail2_probe.py), with f32 MXU
+    accumulation (the 1/w^2 scale is a power of two, so products are exact
+    in bf16). Wide maps keep the reduce_window path — a CxC eye kernel
+    would waste C MXU lanes per output.
+    """
+    c = int(x.shape[-1])
+    if jnp.issubdtype(x.dtype, jnp.floating) and c <= 64:
+        eye = jnp.eye(c, dtype=x.dtype) / (window * window)
+        w = jnp.broadcast_to(eye[None, None], (window, window, c, c))
+        return conv2d(x, w, stride=stride, padding="VALID")
     summed = lax.reduce_window(
         x,
         0.0,

@@ -129,6 +129,26 @@ def test_avg_pool():
     np.testing.assert_allclose(out[0, :, :, 0], [[2.5, 4.5], [10.5, 12.5]])
 
 
+def test_avg_pool_conv_path_matches_reduce_window():
+    # The small-C fast path (identity-kernel conv, MXU) must agree with the
+    # reduce_window formulation that wide maps still use. C=11 takes the conv
+    # path; C=128 takes reduce_window; compare both against numpy.
+    rng = np.random.default_rng(0)
+    for c in (11, 128):
+        x = rng.standard_normal((2, 6, 8, c)).astype(np.float32)
+        out = np.asarray(avg_pool(jnp.asarray(x), window=2, stride=2))
+        ref = 0.25 * (x[:, 0::2, 0::2] + x[:, 1::2, 0::2] + x[:, 0::2, 1::2] + x[:, 1::2, 1::2])
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_avg_pool_conv_path_differentiable():
+    # the DAE stem pools through avg_pool during training — grads must flow
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((1, 4, 4, 3)), jnp.float32)
+    g = jax.grad(lambda x: jnp.sum(avg_pool(x, window=2, stride=2) ** 2))(x)
+    assert g.shape == x.shape
+    assert bool(jnp.any(g != 0))
+
+
 def test_conv2d_dilation_shape():
     x = jnp.zeros((1, 16, 16, 4))
     w = jnp.zeros((3, 3, 4, 4))

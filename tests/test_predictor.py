@@ -72,6 +72,26 @@ def test_predict_chunking_matches_single_shot(params):
     np.testing.assert_array_equal(small.predict(imgs), big.predict(imgs))
 
 
+def test_predictor_dp_sharded_matches_single_device(params):
+    from iterative_inference_segm_tpu.parallel import make_mesh
+
+    fcn, dae = params
+    mesh = make_mesh(("data",))
+    imgs = np.random.default_rng(4).random((5, 48, 64, 3)).astype(np.float32)
+    single = Predictor(fcn, dae, dataset=TINY, batch_size=8, num_steps=1)
+    sharded = Predictor(fcn, dae, dataset=TINY, batch_size=8, num_steps=1, mesh=mesh)
+    np.testing.assert_array_equal(single.predict(imgs), sharded.predict(imgs))
+
+
+def test_predictor_mesh_rejects_indivisible_batch(params):
+    from iterative_inference_segm_tpu.parallel import make_mesh
+
+    fcn, _ = params
+    mesh = make_mesh(("data",))
+    with pytest.raises(ValueError, match="divisible"):
+        Predictor(fcn, dataset=TINY, batch_size=3, mesh=mesh)
+
+
 def test_predictor_from_npz(tmp_path, params):
     fcn, dae = params
     save_npz(tmp_path / "fcn.npz", jax.device_get(fcn))
