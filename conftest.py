@@ -24,3 +24,15 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the suite's 25 minutes are almost
+# entirely CPU compiles of the same FCN-8/DAE graphs on every run. With the
+# cache, unchanged tests re-run in seconds. Keyed by HLO + jax/XLA version,
+# so code changes recompile exactly what they touch. Safe to delete anytime.
+_cache_dir = os.environ.get(
+    "JAX_TEST_COMPILATION_CACHE",
+    os.path.join(os.path.dirname(__file__), ".jax_compile_cache"),
+)
+if _cache_dir != "off":
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

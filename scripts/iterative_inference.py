@@ -203,7 +203,8 @@ def main(argv=None) -> int:
 
         images0, _ = test_batches[0]
 
-        # params as jit arguments (closures over weights 413 the relay)
+        # params as jit arguments (closures over weights trip the relay's
+        # compile-request size limit — CLAUDE.md)
         @jax.jit
         def traj_fn(fcn_p, dae_p, x):
             y0, h = fcn8_apply(fcn_p, x, return_features=tuple(args.concat_h),
