@@ -62,7 +62,8 @@ def test_septail_phase_logits_match_nhwc_composition():
     s = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 12, C))
 
     ref = dae_septail_logits(params, s, y)  # NHWC composition (grouped convs)
-    got = septail_phase_logits(
+    # jit: the phase-major tail is ~600 slab ops — eager dispatch dominates
+    got = jax.jit(septail_phase_logits)(
         params, jnp.transpose(s, (0, 3, 1, 2)), phase_split(y)
     )
     np.testing.assert_allclose(

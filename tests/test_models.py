@@ -62,7 +62,9 @@ def test_fcn8_logits_shape_and_grad(fcn_params):
     def loss(p):
         return jnp.sum(fcn8_logits(p, x) ** 2)
 
-    g = jax.grad(loss)(fcn_params)
+    # jit: the eager VJP is hundreds of op-by-op dispatches (~18s on CPU);
+    # jitted it compiles once (persistent-cached across runs) and runs fast
+    g = jax.jit(jax.grad(loss))(fcn_params)
     gnorm = sum(float(jnp.abs(v).sum()) for v in jax.tree.leaves(g))
     assert np.isfinite(gnorm) and gnorm > 0
 

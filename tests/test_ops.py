@@ -183,11 +183,13 @@ def test_conv_transpose_phase_matches_dilated():
         x = jnp.asarray(rng.normal(size=(2, 5, 7, 3)).astype(np.float32))
         w = jnp.asarray(rng.normal(size=(k, k, 3, 4)).astype(np.float32))
         a = _conv_transpose2d_dilated(x, w, stride=stride)
-        b = conv_transpose2d_phase(x, w, stride=stride)
+        b = jax.jit(lambda xx, ww: conv_transpose2d_phase(xx, ww, stride=stride))(x, w)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
-        ga = jax.grad(lambda xx, ww: jnp.sum(_conv_transpose2d_dilated(xx, ww, stride=stride) ** 2), argnums=(0, 1))(x, w)
-        gb = jax.grad(lambda xx, ww: jnp.sum(conv_transpose2d_phase(xx, ww, stride=stride) ** 2), argnums=(0, 1))(x, w)
+        # jitted grads: the s=8 phase-kernel builder is 64 scatter .at[].add
+        # ops — eager that's hundreds of dispatches per VJP
+        ga = jax.jit(jax.grad(lambda xx, ww: jnp.sum(_conv_transpose2d_dilated(xx, ww, stride=stride) ** 2), argnums=(0, 1)))(x, w)
+        gb = jax.jit(jax.grad(lambda xx, ww: jnp.sum(conv_transpose2d_phase(xx, ww, stride=stride) ** 2), argnums=(0, 1)))(x, w)
         for u, v in zip(ga, gb):
             np.testing.assert_allclose(np.asarray(u), np.asarray(v), rtol=1e-3, atol=1e-4)
 
