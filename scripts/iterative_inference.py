@@ -36,6 +36,11 @@ def parse_args(argv=None):
     p.add_argument("--concat-h", nargs="*", default=["pool4"])
     p.add_argument("--dae-depth", type=int, default=4)
     p.add_argument("--dae-stem-pool", type=int, default=0)
+    p.add_argument("--dae-tail", choices=["full", "sep"], default="full",
+                   help="must match the architecture the DAE npz was trained "
+                        "with (train_dae.py --dae-tail)")
+    p.add_argument("--dae-widths", nargs="*", type=int, default=None,
+                   help="encoder widths; must match the trained DAE npz")
     p.add_argument("--arch", default="dae", choices=["dae", "contextmod"])
     p.add_argument("--epsilon", type=float, default=0.1)
     p.add_argument("--num-steps", type=int, default=5)
@@ -117,6 +122,8 @@ def main(argv=None) -> int:
             h_specs=h_specs,
             depth=args.dae_depth,
             stem_pool=args.dae_stem_pool,
+            tail=args.dae_tail,
+            **({"widths": tuple(args.dae_widths)} if args.dae_widths else {}),
         )
         score_apply = dae_apply
         score_kwargs = {"depth": args.dae_depth}

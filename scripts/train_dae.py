@@ -40,6 +40,8 @@ def parse_args(argv=None):
     p.add_argument("--dae-depth", type=int, default=4)
     p.add_argument("--dae-tail", choices=["full", "sep"], default="full",
                    help="stem_pool=1 tail: dense CxC or separable (fused-engine ready)")
+    p.add_argument("--dae-widths", nargs="*", type=int, default=None,
+                   help="encoder channel widths (default from models.dae)")
     p.add_argument("--dae-stem-pool", type=int, default=0,
                    help="pool the input map N times before the encoder (TPU latency opt)")
     p.add_argument("--arch", default="dae", choices=["dae", "contextmod"],
@@ -154,6 +156,7 @@ def main(argv=None) -> int:
         dae_depth=args.dae_depth,
         dae_stem_pool=args.dae_stem_pool,
         dae_tail=args.dae_tail,
+        dae_widths=tuple(args.dae_widths) if args.dae_widths else None,
         arch=args.arch,
         workdir=workdir,
         augment=not args.no_augment,
