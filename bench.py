@@ -27,10 +27,9 @@ import sys
 import time
 
 # Ratchet: round 1 measured 0.512x; round 2's half engine + bf16 carry +
-# folded conditioning measures 0.69-0.70x across repeated runs (batch 128;
-# 192/256 measured worse). Raise whenever a round's bench beats it with
-# margin.
-PERF_FLOOR = 0.65
+# folded conditioning + bf16 y0 softmax measures 0.716x (batch 128; 192/256
+# measured worse). Raise whenever a round's bench beats it with margin.
+PERF_FLOOR = 0.68
 
 
 def main() -> int:

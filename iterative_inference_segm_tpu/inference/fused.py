@@ -291,8 +291,11 @@ def make_half_refiner(
     def _refine(fcn_params, dae_params, x):
         from iterative_inference_segm_tpu.models.dae import precompute_bottleneck_h
 
+        # probs at the carry dtype: identical numerics path to bench.py's
+        # flagship pipeline (bf16 carry => bf16 y0, no f32 round trip)
         y0, h = fcn_apply(
-            fcn_params, x, return_features=h_taps, compute_dtype=compute_dtype
+            fcn_params, x, return_features=h_taps, compute_dtype=compute_dtype,
+            probs_dtype=state_dtype or compute_dtype,
         )
         bh = precompute_bottleneck_h(
             dae_params, h, depth=depth, stem_pool=1,

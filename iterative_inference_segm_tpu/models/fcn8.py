@@ -191,7 +191,16 @@ def fcn8_apply(
 
     if "score" in want:
         feats["score"] = logits
-    probs = jax.nn.softmax(logits, axis=-1).astype(probs_dtype)
+    if probs_dtype == jnp.bfloat16 and "score" not in want:
+        # Throughput path: softmax directly on the compute-dtype logits
+        # (jax.nn.softmax subtracts the max first, so bf16 stays in range) —
+        # skips the f32 materialization of the full-res map. The parity path
+        # (f32 probs, or any caller tapping 'score') keeps the f32 softmax.
+        probs = jax.nn.softmax(
+            crop_to(up8, x.shape[1], x.shape[2]).astype(jnp.bfloat16), axis=-1
+        )
+    else:
+        probs = jax.nn.softmax(logits, axis=-1).astype(probs_dtype)
     if "probs" in want:
         feats["probs"] = probs
     return probs, feats
