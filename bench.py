@@ -145,7 +145,8 @@ def main() -> int:
         @jax.jit
         def pipeline(fcn_params, dae_params, x):
             y0, h = fcn8_apply(
-                fcn_params, x, return_features=("pool4",), compute_dtype=compute_dtype
+                fcn_params, x, return_features=("pool4",), compute_dtype=compute_dtype,
+                probs_dtype=state_dtype,
             )
             dae_fn = lambda y: dae_apply(
                 dae_params, y, h, depth=args.dae_depth, compute_dtype=compute_dtype,

@@ -376,5 +376,10 @@ def dae_apply(
         p = params["score_input"]
         s = s + conv2d(y.astype(s.dtype), p["w"], p["b"], padding="SAME")
 
-    logits = crop_to(s, y.shape[1], y.shape[2]).astype(jnp.float32)
-    return jax.nn.softmax(logits, axis=-1).astype(out_dtype)
+    logits = crop_to(s, y.shape[1], y.shape[2])
+    if out_dtype == jnp.bfloat16:
+        # Throughput path (bf16 refinement carry): softmax the compute-dtype
+        # logits directly — skips a full-res f32 materialization per
+        # refinement step. Parity path (f32 out) keeps the f32 softmax.
+        return jax.nn.softmax(logits.astype(jnp.bfloat16), axis=-1)
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(out_dtype)
