@@ -160,6 +160,33 @@ def test_sp_sharded_refinement_matches_unsharded(cpu_devices):
     assert float(jnp.abs(yk_ref - y0_ref).max()) > 1e-4
 
 
+def test_sp_sharded_half_engine_matches_unsharded(cpu_devices):
+    """The half engine under a dp x sp mesh (H sharded over 'space'): the
+    stem avg-pool, pooled-map scan, and full-res rectification all cross the
+    spatial shard boundary — XLA must insert the halo exchanges and the
+    result must equal the unsharded engine."""
+    from iterative_inference_segm_tpu.inference.fused import make_half_refiner
+
+    fcn = init_fcn8(jax.random.PRNGKey(0), n_classes=C, fc_channels=16)
+    dae = init_dae(jax.random.PRNGKey(1), n_classes=C, h_specs={"pool4": 512},
+                   depth=3, stem_pool=1, widths=(8, 16, 32))
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 48, 64, 3))
+
+    refine_ref = make_half_refiner(fcn8_apply, fcn, dae, eps=0.3, num_steps=2,
+                                   h_taps=("pool4",), depth=3)
+    y0_ref, yk_ref = refine_ref(x)
+
+    mesh = make_mesh(("data", "space"), (2, 4))
+    refine_sp = make_half_refiner(fcn8_apply, replicate(mesh, fcn), replicate(mesh, dae),
+                                  eps=0.3, num_steps=2, h_taps=("pool4",), depth=3)
+    x_s = jax.device_put(x, batch_sharding(mesh, 4, spatial_axis="space"))
+    y0_sp, yk_sp = refine_sp(x_s)
+
+    np.testing.assert_allclose(np.asarray(y0_sp), np.asarray(y0_ref), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(yk_sp), np.asarray(yk_ref), rtol=5e-4, atol=5e-5)
+    assert float(jnp.abs(yk_ref - y0_ref).max()) > 1e-4
+
+
 def test_shard_map_dp_step_matches_single_device(cpu_devices):
     """Explicit shard_map+psum DP step == single-device step (same update)."""
     import optax
