@@ -127,6 +127,8 @@ class Predictor:
         fc_channels: int = 4096,
         dae_depth: int = 4,
         dae_stem_pool: int = 0,
+        dae_tail: str = "full",
+        dae_widths: tuple[int, ...] | None = None,
         h_taps: tuple[str, ...] = ("pool4",),
         **kwargs,
     ) -> "Predictor":
@@ -144,7 +146,8 @@ class Predictor:
             dae_t = init_dae(
                 jax.random.PRNGKey(0), n_classes=dataset.n_classes,
                 h_specs={n: DAE_H_CHANNELS[n] for n in h_taps},
-                depth=dae_depth, stem_pool=dae_stem_pool,
+                depth=dae_depth, stem_pool=dae_stem_pool, tail=dae_tail,
+                **({"widths": tuple(dae_widths)} if dae_widths else {}),
             )
             dae = load_npz(dae_npz, dae_t)
         return cls(
@@ -167,9 +170,12 @@ class Predictor:
             if got < self.batch_size:
                 pad = np.zeros((self.batch_size - got, *chunk.shape[1:]), np.float32)
                 chunk = np.concatenate([chunk, pad])
-            xj = jnp.asarray(chunk)
             if self._mesh is not None:
-                xj = jax.device_put(xj, self._x_sharding)
+                # shard straight from host memory — device_put on the numpy
+                # chunk avoids landing the whole batch on device 0 first
+                xj = jax.device_put(chunk, self._x_sharding)
+            else:
+                xj = jnp.asarray(chunk)
             lab, probs = self._predict(self._fcn, self._dae, xj)
             labels_out.append(np.asarray(lab)[:got])
             if return_probs:

@@ -187,7 +187,8 @@ def fcn8_apply(
     fuse3 = up4 + sp3
 
     up8 = conv_transpose2d(fuse3, params["upscore8"]["w"], stride=8)
-    logits = crop_to(up8, x.shape[1], x.shape[2]).astype(jnp.float32)
+    cropped = crop_to(up8, x.shape[1], x.shape[2])
+    logits = cropped.astype(jnp.float32)
 
     if "score" in want:
         feats["score"] = logits
@@ -196,9 +197,7 @@ def fcn8_apply(
         # (jax.nn.softmax subtracts the max first, so bf16 stays in range) —
         # skips the f32 materialization of the full-res map. The parity path
         # (f32 probs, or any caller tapping 'score') keeps the f32 softmax.
-        probs = jax.nn.softmax(
-            crop_to(up8, x.shape[1], x.shape[2]).astype(jnp.bfloat16), axis=-1
-        )
+        probs = jax.nn.softmax(cropped.astype(jnp.bfloat16), axis=-1)
     else:
         probs = jax.nn.softmax(logits, axis=-1).astype(probs_dtype)
     if "probs" in want:

@@ -103,3 +103,24 @@ def test_predictor_from_npz(tmp_path, params):
     imgs = np.random.default_rng(3).random((2, 48, 64, 3)).astype(np.float32)
     direct = Predictor(fcn, dae, dataset=TINY, batch_size=2, num_steps=1)
     np.testing.assert_array_equal(p.predict(imgs), direct.predict(imgs))
+
+
+def test_predictor_from_npz_nondefault_dae_arch(tmp_path, params):
+    # a sep-tail / custom-width DAE (train_dae.py --dae-tail sep --dae-widths)
+    # must be servable: from_npz rebuilds the matching template
+    import jax.numpy as jnp
+
+    fcn, _ = params
+    dae = init_dae(jax.random.PRNGKey(5), n_classes=4, h_specs={"pool4": 512},
+                   depth=3, stem_pool=1, widths=(8, 16, 32), tail="sep")
+    save_npz(tmp_path / "fcn.npz", jax.device_get(fcn))
+    save_npz(tmp_path / "dae.npz", jax.device_get(dae))
+    p = Predictor.from_npz(
+        str(tmp_path / "fcn.npz"), str(tmp_path / "dae.npz"),
+        dataset=TINY, fc_channels=16, batch_size=2, num_steps=1,
+        dae_depth=3, dae_stem_pool=1, dae_tail="sep", dae_widths=(8, 16, 32),
+        engine="half", compute_dtype=jnp.float32, eps=0.3,
+    )
+    imgs = np.random.default_rng(6).random((2, 48, 64, 3)).astype(np.float32)
+    labels = p.predict(imgs)
+    assert labels.shape == (2, 48, 64)

@@ -24,17 +24,33 @@ import jax
 import jax.numpy as jnp
 
 
-def timed(f, args, label, batch, iters=8, reps=2):
-    jf = jax.jit(f)
-    jax.device_get(jf(*args))
+def timed(f, args, label, batch, iters=8, reps=2, perturb_idx=1):
+    # iterations chained INSIDE one jit via fori_loop (CLAUDE.md: host-side
+    # dispatch loops pay ~3 ms per call through the relay and corrupt
+    # small-op measurements). The scalar accumulator perturbs the operand at
+    # ``perturb_idx`` (an input array, NOT the param pytree — perturbing
+    # params would add a full param-sweep of HBM traffic per iteration) by
+    # ~0 so XLA cannot CSE the iterations away.
+    from jax import lax
+
+    @jax.jit
+    def run(*ops):
+        def body(i, acc):
+            x = ops[perturb_idx]
+            perturbed = (
+                ops[:perturb_idx]
+                + (x + (acc * jnp.float32(1e-38)).astype(x.dtype),)
+                + ops[perturb_idx + 1 :]
+            )
+            return acc + jnp.float32(f(*perturbed))
+
+        return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    jax.device_get(run(*args))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        acc = None
-        for _ in range(iters):
-            v = jf(*args)
-            acc = v if acc is None else acc + v
-        jax.device_get(acc)
+        jax.device_get(run(*args))
         best = min(best, (time.perf_counter() - t0) / iters)
     print(f"{label:<58s} {best * 1e3:8.3f} ms/iter  {best / batch * 1e3:7.4f} ms/img", flush=True)
     return best
@@ -82,8 +98,6 @@ def main():
     ]
 
     for label, depth, widths, tail in configs:
-        if tail == "sep" and DAE_H_CHANNELS:  # sep requires stem_pool=1 (always true here)
-            pass
         dae = init_dae(
             jax.random.PRNGKey(1), n_classes=C,
             h_specs={"pool4": DAE_H_CHANNELS["pool4"]},
@@ -112,7 +126,7 @@ def main():
 
         t_step = timed(one_step, (dae, xh, h), f"{label}: one half-res step", B)
         t_rect = timed(rect, (dae, xh, y0, h), f"{label}: rectification (core+tail+argmax)", B)
-        t_pipe = timed(pipe, (fcn, dae, x), f"{label}: FULL pipeline K=5", B)
+        t_pipe = timed(pipe, (fcn, dae, x), f"{label}: FULL pipeline K=5", B, perturb_idx=2)
         print(f"  -> {label}: pipeline {B / t_pipe:.1f} img/s", flush=True)
 
 
