@@ -42,6 +42,10 @@ def main(argv=None) -> int:
                         "(see --mix-prob). Mirrors [ref: train_dae.py]'s from_gt.")
     p.add_argument("--mix-prob", type=float, default=0.5,
                    help="with --corruption mix: probability a batch uses the GT regime")
+    p.add_argument("--arch", choices=["dae", "contextmod"], default="dae",
+                   help="score network: the conditional DAE, or the dilated "
+                        "context module (the reference's ablation variant; "
+                        "conditions on the input image, general engine only)")
     p.add_argument("--dae-stem-pool", type=int, default=0)
     p.add_argument("--dae-tail", choices=["full", "sep"], default="full")
     p.add_argument("--dae-depth", type=int, default=4)
@@ -95,13 +99,17 @@ def main(argv=None) -> int:
                     epoch_callback=lambda e, h, _: print(f"  fcn epoch {e}: loss {h['train_loss']:.3f} val mIoU {h['val_miou']:.3f}", flush=True))
     fcn_params = rf["params"]
 
+    if args.arch == "contextmod" and args.engine != "general":
+        raise SystemExit("--arch contextmod runs on the general engine only")
+    h_taps = ("input",) if args.arch == "contextmod" else ("pool4",)
     from_gt: bool | float = {"natural": False, "gt": True}.get(args.corruption, args.mix_prob)
-    print(f"== training DAE ({args.corruption} corruption, conditioned on pool4) ==", flush=True)
+    print(f"== training {args.arch} ({args.corruption} corruption, conditioned on {h_taps[0]}) ==", flush=True)
     tcfg_d = TrainConfig(learning_rate=1e-3, weight_decay=1e-4, max_epochs=args.epochs_dae, patience=100, seed=args.seed)
     rd = train_dae(fcn_params=fcn_params, dataset=cfg, train_data=train, val_data=val,
-                   tcfg=tcfg_d, h_taps=("pool4",), sigma=args.sigma, from_gt=from_gt,
+                   tcfg=tcfg_d, h_taps=h_taps, sigma=args.sigma, from_gt=from_gt,
                    dae_depth=args.dae_depth, dae_stem_pool=args.dae_stem_pool, dae_tail=args.dae_tail,
                    dae_widths=tuple(args.dae_widths) if args.dae_widths else None,
+                   arch=args.arch,
                    epoch_callback=lambda e, h, _: print(f"  dae epoch {e}: loss {h['train_loss']:.3f} val mIoU {h['val_miou']:.3f}", flush=True))
     dae_params = rd["params"]
 
@@ -118,10 +126,18 @@ def main(argv=None) -> int:
             h_taps=("pool4",), depth=args.dae_depth,
         )
     else:
+        if args.arch == "contextmod":
+            from iterative_inference_segm_tpu.models import contextmod_apply
+
+            score_apply = lambda p, y, h, **kw: contextmod_apply(p, y, h)
+            score_kwargs = {}
+        else:
+            score_apply = dae_apply
+            score_kwargs = {"depth": args.dae_depth}
         res = grid_search_eps_k(
-            fcn8_apply, dae_apply, fcn_params, dae_params, norm(val),
+            fcn8_apply, score_apply, fcn_params, dae_params, norm(val),
             n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,
-            h_taps=("pool4",), mode=args.mode, dae_kwargs={"depth": args.dae_depth},
+            h_taps=h_taps, mode=args.mode, dae_kwargs=score_kwargs,
         )
     print(f"  best eps={res['best_eps']} K={res['best_k']} val mIoU {res['best_miou']:.4f}"
           f" (K=0 val mIoU {res['miou'][0, 0]:.4f})", flush=True)
@@ -135,9 +151,9 @@ def main(argv=None) -> int:
         )
     else:
         refine = make_refiner(
-            fcn8_apply, dae_apply, fcn_params, dae_params,
-            eps=res["best_eps"], num_steps=res["best_k"], h_taps=("pool4",),
-            mode=args.mode, compute_dtype=cd, dae_kwargs={"depth": args.dae_depth},
+            fcn8_apply, score_apply, fcn_params, dae_params,
+            eps=res["best_eps"], num_steps=res["best_k"], h_taps=h_taps,
+            mode=args.mode, compute_dtype=cd, dae_kwargs=score_kwargs,
         )
     cm0 = cmk = None
     for images, labels in norm(test):
@@ -156,6 +172,7 @@ def main(argv=None) -> int:
         "best_k": res["best_k"],
         "engine": args.engine,
         "mode": args.mode,
+        "arch": args.arch,
     }
     if args.json:
         print(json.dumps(d))
