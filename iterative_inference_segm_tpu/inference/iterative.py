@@ -72,11 +72,10 @@ def refinement_scan(
     traced scalar, so (eps, K) grid search can reuse one compiled program
     across eps values.
 
-    ``unroll`` is forwarded to ``lax.scan``: unrolling lets XLA fuse across
-    step boundaries (e.g. step k's update into step k+1's stem pooling) —
-    the refinement step is materialization-bound on full-res class maps, so
-    cross-step fusion is measurable; use ``unroll=num_steps`` for the
-    throughput configuration.
+    ``unroll`` is forwarded to ``lax.scan``. Measured on v5e: unrolling does
+    NOT fuse across the step's conv boundaries and buys nothing for this
+    workload (ARCHITECTURE.md "Why half wins" #3) — the knob exists for
+    experimentation on other backends/toolchains, keep the default 1 here.
     """
 
     def step(y, _):

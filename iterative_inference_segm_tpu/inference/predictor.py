@@ -81,7 +81,10 @@ class Predictor:
             y0, h = fcn8_apply(
                 fcn_params, x, return_features=h_taps if refine else (),
                 compute_dtype=compute_dtype,
-                probs_dtype=compute_dtype if engine == "half" else jnp.float32,
+                # bf16 probs only when the half engine actually refines at
+                # bf16 — an unrefined Predictor must return the same f32
+                # softmax baseline as every other path
+                probs_dtype=compute_dtype if (refine and engine == "half") else jnp.float32,
             )
             y = y0
             if refine and engine == "half":

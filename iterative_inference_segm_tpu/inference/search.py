@@ -37,22 +37,27 @@ def grid_search_eps_k(
     mode: str = "score",
     renorm: str = "none",
     dae_kwargs: dict | None = None,
+    compute_dtype=jnp.float32,
 ) -> dict:
     """Evaluate mIoU for every (eps in eps_grid, K in 0..k_max) on ``batches``.
 
     Returns {'best_eps', 'best_k', 'best_miou', 'miou': (n_eps, k_max+1) array}.
     ``batches`` yields (images NHWC, labels BHW); it is re-iterated per eps,
     so pass a list (validation sets are small: CamVid val = 101 images).
+    ``compute_dtype`` sets the FCN/score-net compute precision so (eps, K)
+    can be selected under the numerics they will run at (pass bf16 when the
+    eval refiner runs bf16).
     """
     batches = list(batches)
     dae_kwargs = dict(dae_kwargs or {})
+    dae_kwargs.setdefault("compute_dtype", compute_dtype)
 
     # params are jit ARGUMENTS: closing over them bakes the weights into the
     # compile request as constants, which the device relay rejects for
     # real-size models (HTTP 413) — see CLAUDE.md.
     @jax.jit
     def trajectory_cms(fcn_params, dae_params, eps: jax.Array, x: jax.Array, labels: jax.Array) -> jax.Array:
-        y0, h = fcn_apply(fcn_params, x, return_features=h_taps)
+        y0, h = fcn_apply(fcn_params, x, return_features=h_taps, compute_dtype=compute_dtype)
         dae_fn = lambda y: dae_apply(dae_params, y, h, **dae_kwargs)
         traj = refine_with_trajectory(
             dae_fn, y0, eps=eps, num_steps=k_max, mode=mode, renorm=renorm
@@ -108,10 +113,18 @@ def grid_search_eps_k_half(
     is traced so the whole grid is one compiled program.
     """
     from iterative_inference_segm_tpu.inference.fused import full_logits, half_logits
-    from iterative_inference_segm_tpu.models.dae import dae_core
+    from iterative_inference_segm_tpu.models.dae import dae_core, dae_stem_pool_of
     from iterative_inference_segm_tpu.ops.conv import avg_pool
 
     batches = list(batches)
+    # Fail the same preconditions the engine itself enforces BEFORE scoring:
+    # otherwise an odd-height val set silently pools one row short here and
+    # the eval refiner then rejects the searched config.
+    if dae_stem_pool_of(dae_params) != 1:
+        raise ValueError("half-engine search requires a stem_pool=1 DAE")
+    for x, _ in batches:
+        if x.shape[1] % 2 or x.shape[2] % 2:
+            raise ValueError(f"half engine requires even H, W; got batch {x.shape}")
 
     @jax.jit
     def scan_cms(fcn_params, dae_params, eps: jax.Array, x_img: jax.Array, labels: jax.Array) -> jax.Array:

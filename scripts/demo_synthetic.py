@@ -61,11 +61,21 @@ def main(argv=None) -> int:
                         "throughput configuration (K pooled-map steps + one "
                         "full-res rectification; requires --dae-stem-pool 1)")
     p.add_argument("--bf16", action="store_true",
-                   help="run search+eval refinement at bf16 compute/state "
-                        "(the benched throughput configuration)")
+                   help="run search AND eval refinement at bf16 compute/state "
+                        "(the benched throughput configuration; (eps, K) are "
+                        "then selected under the same numerics they run at)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true", help="print one JSON result line")
     args = p.parse_args(argv)
+
+    # fail invalid combinations BEFORE the (potentially long) training runs
+    if args.engine == "half" and args.dae_stem_pool != 1:
+        raise SystemExit("--engine half requires --dae-stem-pool 1")
+    if args.engine == "half" and args.mode != "score":
+        raise SystemExit("--engine half implements score mode only "
+                         "(use --engine general for --mode energy)")
+    if args.arch == "contextmod" and args.engine != "general":
+        raise SystemExit("--arch contextmod runs on the general engine only")
 
 
     import jax.numpy as jnp
@@ -99,8 +109,6 @@ def main(argv=None) -> int:
                     epoch_callback=lambda e, h, _: print(f"  fcn epoch {e}: loss {h['train_loss']:.3f} val mIoU {h['val_miou']:.3f}", flush=True))
     fcn_params = rf["params"]
 
-    if args.arch == "contextmod" and args.engine != "general":
-        raise SystemExit("--arch contextmod runs on the general engine only")
     h_taps = ("input",) if args.arch == "contextmod" else ("pool4",)
     from_gt: bool | float = {"natural": False, "gt": True}.get(args.corruption, args.mix_prob)
     print(f"== training {args.arch} ({args.corruption} corruption, conditioned on {h_taps[0]}) ==", flush=True)
@@ -117,13 +125,12 @@ def main(argv=None) -> int:
     def norm(b):
         return [(np.asarray(normalize_image(jnp.asarray(i), cfg)), l) for i, l in b]
 
+    cd = jnp.bfloat16 if args.bf16 else jnp.float32
     if args.engine == "half":
-        if args.dae_stem_pool != 1:
-            raise SystemExit("--engine half requires --dae-stem-pool 1")
         res = grid_search_eps_k_half(
             fcn8_apply, fcn_params, dae_params, norm(val),
             n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,
-            h_taps=("pool4",), depth=args.dae_depth,
+            h_taps=("pool4",), depth=args.dae_depth, compute_dtype=cd,
         )
     else:
         if args.arch == "contextmod":
@@ -138,11 +145,11 @@ def main(argv=None) -> int:
             fcn8_apply, score_apply, fcn_params, dae_params, norm(val),
             n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,
             h_taps=h_taps, mode=args.mode, dae_kwargs=score_kwargs,
+            compute_dtype=cd,
         )
     print(f"  best eps={res['best_eps']} K={res['best_k']} val mIoU {res['best_miou']:.4f}"
           f" (K=0 val mIoU {res['miou'][0, 0]:.4f})", flush=True)
 
-    cd = jnp.bfloat16 if args.bf16 else jnp.float32
     if args.engine == "half":
         refine = make_half_refiner(
             fcn8_apply, fcn_params, dae_params,

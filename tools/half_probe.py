@@ -93,7 +93,8 @@ def main():
         ("flagship d3 (32,64,128)", 3, (32, 64, 128), "full"),
         ("lean d3 (24,48,96)", 3, (24, 48, 96), "full"),
         ("lean d3 (16,32,64)", 3, (16, 32, 64), "full"),
-        ("lean d2 (32,64)", 2, (32, 64), "full"),
+        # depth 2 is invalid here: stem_pool+depth=3 puts the deepest scale
+        # at /8, above the pool4 (/16) conditioning tap
         ("flagship sep tail", 3, (32, 64, 128), "sep"),
     ]
 
