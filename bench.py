@@ -51,6 +51,9 @@ def main() -> int:
     p.add_argument("--dae-depth", type=int, default=3)
     p.add_argument("--dae-widths", nargs="*", type=int, default=None,
                    help="encoder channel widths (default from models.dae)")
+    p.add_argument("--dae-encoder", choices=["pool", "stride"], default="pool",
+                   help="DAE encoder style: classic conv+maxpool or stride-2 "
+                        "convs (same param shapes; see models.dae.dae_core)")
     p.add_argument("--dae-tail", choices=["full", "sep"], default="full",
                    help="refinement tail: dense CxC (round-1) or separable "
                         "(depthwise up + depthwise 3x3 + 1x1 mix)")
@@ -133,6 +136,7 @@ def main() -> int:
             core_fn = lambda yp: dae_core(
                 dae_params, yp.astype(compute_dtype), bh[2],
                 depth=args.dae_depth, stem_pool=1, bottleneck_h=bh,
+                encoder=args.dae_encoder,
             )
             y_k = scan_impl(
                 dae_params, core_fn, y0, eps=0.1, num_steps=args.steps,
@@ -150,7 +154,7 @@ def main() -> int:
             )
             dae_fn = lambda y: dae_apply(
                 dae_params, y, h, depth=args.dae_depth, compute_dtype=compute_dtype,
-                out_dtype=state_dtype,
+                out_dtype=state_dtype, encoder=args.dae_encoder,
             )
             y_k = refinement_scan(
                 dae_fn, y0.astype(state_dtype), eps=jnp.asarray(0.1, state_dtype),

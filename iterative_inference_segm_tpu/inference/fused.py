@@ -282,8 +282,12 @@ def make_half_refiner(
     depth: int = 3,
     compute_dtype=jnp.float32,
     state_dtype=None,
+    encoder: str = "pool",
 ) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]:
-    """Jitted image batch -> (y0, yK) via the half-resolution engine."""
+    """Jitted image batch -> (y0, yK) via the half-resolution engine.
+
+    ``encoder`` must match the style the DAE was trained with
+    (models.dae.dae_core: 'pool' classic / 'stride' strided-conv)."""
 
     # params as jit ARGUMENTS — closures over weights exceed the device
     # relay's compile-request limit for real-size models (CLAUDE.md)
@@ -305,7 +309,7 @@ def make_half_refiner(
         def core_fn(x_half):
             return dae_core(
                 dae_params, x_half.astype(compute_dtype), bh[2],
-                depth=depth, stem_pool=1, bottleneck_h=bh,
+                depth=depth, stem_pool=1, bottleneck_h=bh, encoder=encoder,
             )
 
         y_k = halfres_refinement_scan(

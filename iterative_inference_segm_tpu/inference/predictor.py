@@ -106,6 +106,7 @@ class Predictor:
                 core_fn = lambda xx: dae_core(
                     dae_params, xx.astype(compute_dtype), bh[2],
                     depth=depth, stem_pool=1, bottleneck_h=bh,
+                    encoder=dae_kwargs.get("encoder", "pool"),
                 )
                 y = halfres_refinement_scan(
                     dae_params, core_fn, y0, eps=eps, num_steps=num_steps,
@@ -132,6 +133,7 @@ class Predictor:
         dae_stem_pool: int = 0,
         dae_tail: str = "full",
         dae_widths: tuple[int, ...] | None = None,
+        dae_encoder: str = "pool",
         h_taps: tuple[str, ...] = ("pool4",),
         **kwargs,
     ) -> "Predictor":
@@ -155,7 +157,7 @@ class Predictor:
             dae = load_npz(dae_npz, dae_t)
         return cls(
             fcn, dae, dataset=dataset, h_taps=h_taps,
-            dae_kwargs={"depth": dae_depth}, **kwargs,
+            dae_kwargs={"depth": dae_depth, "encoder": dae_encoder}, **kwargs,
         )
 
     def predict(self, images: np.ndarray, *, return_probs: bool = False):

@@ -102,6 +102,7 @@ def grid_search_eps_k_half(
     h_taps: tuple[str, ...] = ("pool4",),
     depth: int = 3,
     compute_dtype=jnp.float32,
+    encoder: str = "pool",
 ) -> dict:
     """(eps, K) search for the HALF engine (inference/fused.py).
 
@@ -139,7 +140,7 @@ def grid_search_eps_k_half(
         )
         core_fn = lambda xx: dae_core(
             dae_params, xx.astype(compute_dtype), bh[2],
-            depth=depth, stem_pool=1, bottleneck_h=bh,
+            depth=depth, stem_pool=1, bottleneck_h=bh, encoder=encoder,
         )
         x0 = avg_pool(y0, window=2, stride=2)
 

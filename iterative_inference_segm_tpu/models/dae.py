@@ -254,6 +254,7 @@ def dae_core(
     depth: int = 4,
     stem_pool: int | None = None,
     bottleneck_h: tuple | None = None,
+    encoder: str = "pool",
 ) -> jax.Array:
     """Encoder + decoder on the (post-stem) map: x at /2^stem_pool -> score
     map s at the same scale (after the 'out' 1x1).
@@ -263,7 +264,24 @@ def dae_core(
     dtype. ``bottleneck_h`` is the output of ``precompute_bottleneck_h``
     (loop-invariant conditioning folded into a bias); when given, ``h``
     must be the ``remaining_h`` it returned.
+
+    ``encoder`` selects the downsampling style (param shapes are IDENTICAL
+    — like ``depth``, the caller must pass the value the checkpoint was
+    trained with):
+
+    * ``'pool'``   — conv3x3 + ReLU + ceil-mode 2x2 max-pool per stage,
+      skips taken PRE-pool (the classic layout; default).
+    * ``'stride'`` — stride-2 conv3x3 + ReLU per stage, skips at the
+      post-reduction scale, decoder fuses each skip BEFORE upsampling.
+      TPU motivation (tools/core_probe.py, v5e, batch 128, flagship
+      shapes): removes three reduce_window passes and quarters each
+      conv's output positions — core drops 0.059 -> 0.040 ms/img. The
+      refinement loop runs the core K+1 times per image, so this is the
+      single biggest step-cost lever; accuracy is validated by the same
+      demo protocol as every flagship config (ARCHITECTURE.md).
     """
+    if encoder not in ("pool", "stride"):
+        raise ValueError(f"unknown encoder {encoder!r}; expected 'pool' or 'stride'")
     if stem_pool is None:
         stem_pool = dae_stem_pool_of(params)
     h = dict(h or {})
@@ -279,13 +297,18 @@ def dae_core(
             x = jnp.concatenate([x, v], axis=-1)
         return x
 
+    in_hw = (int(x.shape[1]), int(x.shape[2]))
     x = concat_h(x, stem_pool)
     skips = []
     for i in range(depth):
         p = params[f"enc{i + 1}"]
-        x = jax.nn.relu(conv2d(x, p["w"], p["b"], padding="SAME"))
-        skips.append(x)
-        x = max_pool(x, window=2, stride=2, ceil_mode=True)
+        if encoder == "stride":
+            x = jax.nn.relu(conv2d(x, p["w"], p["b"], stride=2, padding="SAME"))
+            skips.append(x)
+        else:
+            x = jax.nn.relu(conv2d(x, p["w"], p["b"], padding="SAME"))
+            skips.append(x)
+            x = max_pool(x, window=2, stride=2, ceil_mode=True)
         x = concat_h(x, stem_pool + i + 1)
 
     p = params["bottleneck"]
@@ -303,13 +326,25 @@ def dae_core(
     # is the parity path). Only the final softmax is forced to f32.
     p = params["score_bottleneck"]
     s = conv2d(x, p["w"], p["b"], padding="SAME")
-    for i in reversed(range(depth)):
-        skip = skips[i]
-        s = conv_transpose2d(s, params[f"up{i + 1}"]["w"], stride=2)
-        p = params[f"score_enc{i + 1}"]
-        sk = conv2d(skip, p["w"], p["b"], padding="SAME")
-        s = crop_to(s, sk.shape[1], sk.shape[2])
-        s = s + sk
+    if encoder == "stride":
+        # skips live at (/2^(sp+1) .. /2^(sp+depth)); fuse each at its own
+        # scale, THEN upsample — ends at the input scale like the pool path
+        # (the ceil-doubling chain can overshoot odd inputs; crop back).
+        for i in reversed(range(depth)):
+            p = params[f"score_enc{i + 1}"]
+            sk = conv2d(skips[i], p["w"], p["b"], padding="SAME")
+            s = crop_to(s, sk.shape[1], sk.shape[2])
+            s = s + sk
+            s = conv_transpose2d(s, params[f"up{i + 1}"]["w"], stride=2)
+        s = crop_to(s, min(s.shape[1], in_hw[0]), min(s.shape[2], in_hw[1]))
+    else:
+        for i in reversed(range(depth)):
+            skip = skips[i]
+            s = conv_transpose2d(s, params[f"up{i + 1}"]["w"], stride=2)
+            p = params[f"score_enc{i + 1}"]
+            sk = conv2d(skip, p["w"], p["b"], padding="SAME")
+            s = crop_to(s, sk.shape[1], sk.shape[2])
+            s = s + sk
 
     p = params["out"]
     return conv2d(s, p["w"], p["b"], padding="SAME")
@@ -338,6 +373,7 @@ def dae_apply(
     depth: int = 4,
     compute_dtype=jnp.float32,
     out_dtype=jnp.float32,
+    encoder: str = "pool",
 ) -> jax.Array:
     """DAE forward: corrupted probability map (+ conditioning) -> denoised map.
 
@@ -363,7 +399,7 @@ def dae_apply(
             x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
         x = avg_pool(x, window=2, stride=2)
 
-    s = dae_core(params, x, h, depth=depth, stem_pool=stem_pool)
+    s = dae_core(params, x, h, depth=depth, stem_pool=stem_pool, encoder=encoder)
 
     if dae_tail_of(params) == "sep":
         s = dae_septail_logits(params, s, y.astype(s.dtype))

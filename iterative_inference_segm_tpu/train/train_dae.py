@@ -48,6 +48,7 @@ def make_dae_train_step(
     augment: bool = True,
     normalize: bool = True,
     dae_depth: int = 4,
+    dae_encoder: str = "pool",
     corruption_impl: str = "auto",
     arch: str = "dae",
 ):
@@ -107,7 +108,8 @@ def make_dae_train_step(
 
     if arch == "dae":
         raw_apply = lambda p, y, hh: dae_apply(
-            p, y, hh, depth=dae_depth, compute_dtype=tcfg.compute_dtype
+            p, y, hh, depth=dae_depth, compute_dtype=tcfg.compute_dtype,
+            encoder=dae_encoder,
         )
     elif arch == "contextmod":
         from iterative_inference_segm_tpu.models.contextmod import contextmod_apply
@@ -174,6 +176,7 @@ def train_dae(
     dae_stem_pool: int = 0,
     dae_tail: str = "full",
     dae_widths: tuple[int, ...] | None = None,
+    dae_encoder: str = "pool",
     arch: str = "dae",
     workdir: str | None = None,
     augment: bool = True,
@@ -224,6 +227,7 @@ def train_dae(
         augment=augment,
         normalize=normalize,
         dae_depth=dae_depth,
+        dae_encoder=dae_encoder,
         corruption_impl=corruption_impl,
         arch=arch,
     )

@@ -50,6 +50,9 @@ def main(argv=None) -> int:
     p.add_argument("--dae-tail", choices=["full", "sep"], default="full")
     p.add_argument("--dae-depth", type=int, default=4)
     p.add_argument("--dae-widths", nargs="*", type=int, default=None)
+    p.add_argument("--dae-encoder", choices=["pool", "stride"], default="pool",
+                   help="encoder style: conv+maxpool or stride-2 convs "
+                        "(TPU-fast; accuracy validated by this demo)")
     p.add_argument("--k-max", type=int, default=8)
     p.add_argument("--eps-grid", nargs="*", type=float, default=[0.05, 0.1, 0.2, 0.4, 0.7, 1.0])
     p.add_argument("--mode", choices=["score", "energy"], default="score",
@@ -117,6 +120,7 @@ def main(argv=None) -> int:
                    tcfg=tcfg_d, h_taps=h_taps, sigma=args.sigma, from_gt=from_gt,
                    dae_depth=args.dae_depth, dae_stem_pool=args.dae_stem_pool, dae_tail=args.dae_tail,
                    dae_widths=tuple(args.dae_widths) if args.dae_widths else None,
+                   dae_encoder=args.dae_encoder,
                    arch=args.arch,
                    epoch_callback=lambda e, h, _: print(f"  dae epoch {e}: loss {h['train_loss']:.3f} val mIoU {h['val_miou']:.3f}", flush=True))
     dae_params = rd["params"]
@@ -131,6 +135,7 @@ def main(argv=None) -> int:
             fcn8_apply, fcn_params, dae_params, norm(val),
             n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,
             h_taps=("pool4",), depth=args.dae_depth, compute_dtype=cd,
+            encoder=args.dae_encoder,
         )
     else:
         if args.arch == "contextmod":
@@ -140,7 +145,7 @@ def main(argv=None) -> int:
             score_kwargs = {}
         else:
             score_apply = dae_apply
-            score_kwargs = {"depth": args.dae_depth}
+            score_kwargs = {"depth": args.dae_depth, "encoder": args.dae_encoder}
         res = grid_search_eps_k(
             fcn8_apply, score_apply, fcn_params, dae_params, norm(val),
             n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,
@@ -154,7 +159,7 @@ def main(argv=None) -> int:
         refine = make_half_refiner(
             fcn8_apply, fcn_params, dae_params,
             eps=res["best_eps"], num_steps=res["best_k"], h_taps=("pool4",),
-            depth=args.dae_depth, compute_dtype=cd,
+            depth=args.dae_depth, compute_dtype=cd, encoder=args.dae_encoder,
         )
     else:
         refine = make_refiner(
@@ -180,6 +185,7 @@ def main(argv=None) -> int:
         "engine": args.engine,
         "mode": args.mode,
         "arch": args.arch,
+        "dae_encoder": args.dae_encoder,
     }
     if args.json:
         print(json.dumps(d))

@@ -41,6 +41,8 @@ def parse_args(argv=None):
                         "with (train_dae.py --dae-tail)")
     p.add_argument("--dae-widths", nargs="*", type=int, default=None,
                    help="encoder widths; must match the trained DAE npz")
+    p.add_argument("--dae-encoder", choices=["pool", "stride"], default="pool",
+                   help="encoder style; must match the trained DAE npz")
     p.add_argument("--arch", default="dae", choices=["dae", "contextmod"])
     p.add_argument("--epsilon", type=float, default=0.1)
     p.add_argument("--num-steps", type=int, default=5)
@@ -126,7 +128,7 @@ def main(argv=None) -> int:
             **({"widths": tuple(args.dae_widths)} if args.dae_widths else {}),
         )
         score_apply = dae_apply
-        score_kwargs = {"depth": args.dae_depth}
+        score_kwargs = {"depth": args.dae_depth, "encoder": args.dae_encoder}
     dae_params = load_npz(args.dae_npz, dae_template) if args.dae_npz else dae_template
 
     if args.synthetic or not args.data_root:
@@ -173,6 +175,7 @@ def main(argv=None) -> int:
                 fcn8_apply, fcn_params, dae_params, val_batches,
                 n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,
                 h_taps=tuple(args.concat_h), depth=args.dae_depth,
+                encoder=args.dae_encoder,
             )
         else:
             res = grid_search_eps_k(
@@ -195,6 +198,7 @@ def main(argv=None) -> int:
             fcn8_apply, fcn_params, dae_params,
             eps=eps, num_steps=num_steps, h_taps=tuple(args.concat_h),
             depth=args.dae_depth, compute_dtype=compute_dtype,
+            encoder=args.dae_encoder,
         )
     else:
         refine = make_refiner(

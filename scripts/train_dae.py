@@ -42,6 +42,9 @@ def parse_args(argv=None):
                    help="stem_pool=1 tail: dense CxC or separable (fused-engine ready)")
     p.add_argument("--dae-widths", nargs="*", type=int, default=None,
                    help="encoder channel widths (default from models.dae)")
+    p.add_argument("--dae-encoder", choices=["pool", "stride"], default="pool",
+                   help="encoder style: conv+maxpool (classic) or stride-2 "
+                        "convs (TPU-fast; same param shapes)")
     p.add_argument("--dae-stem-pool", type=int, default=0,
                    help="pool the input map N times before the encoder (TPU latency opt)")
     p.add_argument("--arch", default="dae", choices=["dae", "contextmod"],
@@ -157,6 +160,7 @@ def main(argv=None) -> int:
         dae_stem_pool=args.dae_stem_pool,
         dae_tail=args.dae_tail,
         dae_widths=tuple(args.dae_widths) if args.dae_widths else None,
+        dae_encoder=args.dae_encoder,
         arch=args.arch,
         workdir=workdir,
         augment=not args.no_augment,

@@ -121,3 +121,70 @@ def test_half_search_scores_match_engine():
         cm = confusion_matrix(jnp.argmax(yk, -1), labels, n_classes=C)
         miou = float(metrics_from_confusion(cm).mean_iou)
         np.testing.assert_allclose(res["miou"][0, k], miou, atol=1e-6)
+
+
+def test_strided_encoder_shapes_grads_and_fold():
+    """encoder='stride' (stride-2 convs, post-reduction skips): same param
+    tree, same output scale, differentiable, and the bottleneck-h fold stays
+    an exact reassociation."""
+    from iterative_inference_segm_tpu.models.dae import precompute_bottleneck_h
+
+    dae = _dae("full")
+    h = {"pool4": jax.random.normal(jax.random.PRNGKey(7), (2, 3, 4, 512))}
+    x_half = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(8), (2, 24, 32, C)), -1)
+
+    s = dae_core(dae, x_half, h, depth=3, stem_pool=1, encoder="stride")
+    assert s.shape == (2, 24, 32, C)
+
+    bh = precompute_bottleneck_h(dae, h, depth=3, stem_pool=1, in_hw=(24, 32))
+    got = dae_core(dae, x_half, bh[2], depth=3, stem_pool=1, bottleneck_h=bh,
+                   encoder="stride")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(s), rtol=1e-5, atol=1e-5)
+
+    g = jax.grad(
+        lambda y: jnp.sum(dae_core(dae, y, h, depth=3, stem_pool=1, encoder="stride") ** 2)
+    )(x_half)
+    assert g.shape == x_half.shape
+    assert bool(jnp.any(g != 0))
+
+    with pytest.raises(ValueError, match="encoder"):
+        dae_core(dae, x_half, h, depth=3, stem_pool=1, encoder="bogus")
+
+
+def test_strided_encoder_odd_sizes_and_dae_apply():
+    from iterative_inference_segm_tpu.models import dae_apply
+
+    dae = _dae("full")
+    h = {"pool4": jax.random.normal(jax.random.PRNGKey(7), (1, 3, 4, 512))}
+    y = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(9), (1, 45, 62, C)), -1)
+    out = dae_apply(dae, y, h, depth=3, encoder="stride")
+    assert out.shape == y.shape
+    np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, rtol=1e-4)
+
+
+def test_half_refiner_strided_runs_and_moves_iterate():
+    from iterative_inference_segm_tpu.inference.fused import make_half_refiner
+
+    fcn, dae, x = _setup("full")
+    refine = make_half_refiner(fcn8_apply, fcn, dae, eps=0.3, num_steps=2,
+                               h_taps=("pool4",), depth=3, encoder="stride")
+    y0, yk = refine(x)
+    assert yk.shape == y0.shape
+    assert float(jnp.abs(yk - y0).max()) > 1e-6
+
+
+def test_half_search_strided_runs():
+    fcn, dae, x = _setup("full")
+    import numpy as _np
+
+    rng = _np.random.default_rng(0)
+    batches = [(
+        rng.normal(size=(2, 48, 64, 3)).astype(_np.float32),
+        rng.integers(0, C, size=(2, 48, 64)).astype(_np.int32),
+    )]
+    res = grid_search_eps_k_half(
+        fcn8_apply, fcn, dae, batches, n_classes=C, eps_grid=[0.2], k_max=2,
+        depth=3, encoder="stride",
+    )
+    assert res["miou"].shape == (1, 3)
+    assert _np.all(_np.isfinite(res["miou"]))
