@@ -51,6 +51,9 @@ def _resize(arr: np.ndarray, h: int, w: int, *, nearest: bool) -> np.ndarray:
     if arr.shape[0] == h and arr.shape[1] == w:
         return arr
     mode = Image.NEAREST if nearest else Image.BILINEAR
+    if arr.ndim == 3 and arr.shape[2] in (3, 4) and arr.dtype == np.uint8:
+        # PIL resizes RGB/RGBA uint8 natively — one resize, no per-channel loop
+        return np.asarray(Image.fromarray(arr).resize((w, h), mode))
     if arr.ndim == 3:
         chans = [
             np.asarray(Image.fromarray(arr[..., c]).resize((w, h), mode))

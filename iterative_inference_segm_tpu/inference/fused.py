@@ -335,6 +335,7 @@ def make_fused_refiner(
     depth: int = 3,
     compute_dtype=jnp.float32,
     state_dtype=None,
+    encoder: str = "pool",
 ) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]:
     """Jitted image batch -> (y0, yK) using the phase-major fast path.
 
@@ -354,7 +355,7 @@ def make_fused_refiner(
         def core_fn(y_pool_nhwc):
             return dae_core(
                 dae_params, y_pool_nhwc.astype(compute_dtype), h,
-                depth=depth, stem_pool=1,
+                depth=depth, stem_pool=1, encoder=encoder,
             )
 
         y_k = fused_refinement_scan(

@@ -45,6 +45,7 @@ class Predictor:
         batch_size: int = 8,
         compute_dtype=jnp.bfloat16,
         normalize: bool = True,
+        input_scale: float = 1.0,
         dae_kwargs: Mapping | None = None,
         mesh=None,
     ):
@@ -77,7 +78,10 @@ class Predictor:
 
         def _predict(fcn_params, dae_params, x):
             if normalize:
-                x = normalize_image(x, dataset)
+                # input_scale declares the input encoding explicitly (1.0 for
+                # [0,1] floats, 255.0 for byte-range) — the round-1 max(x)>2
+                # auto-detection was removed as a data-dependent footgun
+                x = normalize_image(x, dataset, input_scale=input_scale)
             y0, h = fcn8_apply(
                 fcn_params, x, return_features=h_taps if refine else (),
                 compute_dtype=compute_dtype,
@@ -161,9 +165,9 @@ class Predictor:
         )
 
     def predict(self, images: np.ndarray, *, return_probs: bool = False):
-        """images: (N, H, W, C) float in [0,1] (the repo-wide convention;
-        scale byte-range input yourself or via normalize_image's
-        input_scale). Returns (N, H, W) int32 labels
+        """images: (N, H, W, C) float in [0,1] (the repo-wide convention).
+        For byte-range [0,255] input construct the Predictor with
+        ``input_scale=255.0``. Returns (N, H, W) int32 labels
         [, (N, H, W, n_classes) f32 probs]."""
         images = np.asarray(images, np.float32)
         n = images.shape[0]

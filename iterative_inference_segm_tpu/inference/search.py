@@ -129,8 +129,12 @@ def grid_search_eps_k_half(
 
     @jax.jit
     def scan_cms(fcn_params, dae_params, eps: jax.Array, x_img: jax.Array, labels: jax.Array) -> jax.Array:
+        # probs/carry/softmaxes all at compute_dtype so bf16 selection runs
+        # the SAME numerics as the deployed bf16 engine (make_half_refiner
+        # passes probs_dtype=state_dtype and softmaxes at the state dtype)
         y0, h = fcn_apply(
-            fcn_params, x_img, return_features=h_taps, compute_dtype=compute_dtype
+            fcn_params, x_img, return_features=h_taps, compute_dtype=compute_dtype,
+            probs_dtype=compute_dtype,
         )
         from iterative_inference_segm_tpu.models.dae import precompute_bottleneck_h
 
@@ -144,15 +148,17 @@ def grid_search_eps_k_half(
         )
         x0 = avg_pool(y0, window=2, stride=2)
 
+        eps_c = eps.astype(compute_dtype)
+
         def step(xc, _):
-            s = core_fn(xc)
+            s = core_fn(xc).astype(compute_dtype)
             r_full = jax.nn.softmax(
-                full_logits(dae_params, s, y0).astype(jnp.float32), -1
+                full_logits(dae_params, s, y0).astype(compute_dtype), -1
             )
-            y_k = y0 - eps * (y0 - r_full)
+            y_k = y0 - eps_c * (y0 - r_full)
             cm = confusion_matrix(jnp.argmax(y_k, -1), labels, n_classes=n_classes)
-            r_half = jax.nn.softmax(half_logits(dae_params, xc, s).astype(jnp.float32), -1)
-            xc = xc - eps * (xc - r_half.astype(xc.dtype))
+            r_half = jax.nn.softmax(half_logits(dae_params, xc, s).astype(compute_dtype), -1)
+            xc = xc - eps_c * (xc - r_half.astype(xc.dtype))
             return xc, cm
 
         _, cms = jax.lax.scan(step, x0, None, length=k_max + 1)

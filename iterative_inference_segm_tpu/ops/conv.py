@@ -224,7 +224,9 @@ def conv2d_depthwise(
     spatial filtering stays per-channel so the full-res work is VPU-cheap;
     channel mixing happens once in a following 1x1. Lowered via
     ``feature_group_count`` so XLA differentiates it for training; the
-    inference hot path fuses it into the Pallas tail kernel instead.
+    phase-major engine re-expresses the same math as shift-and-add slab
+    arithmetic (inference/fused.py — a fully fused Pallas tail was
+    prototyped and rejected on measurement, see ARCHITECTURE.md).
     """
     c = x.shape[-1]
     if w.ndim != 3 or int(w.shape[2]) != c:

@@ -165,6 +165,14 @@ def main(argv=None) -> int:
         args.dae_stem_pool != 1 or args.mode != "score" or args.arch != "dae"
     ):
         raise SystemExit("--engine half requires --dae-stem-pool 1, --mode score, --arch dae")
+    if args.engine == "half" and args.dump_trajectory:
+        raise SystemExit(
+            "--dump-trajectory is a general-engine artifact (full-res y_k "
+            "states); the half engine iterates a pooled map — rerun with "
+            "--engine general to dump a trajectory"
+        )
+
+    compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
     eps, num_steps = args.epsilon, args.num_steps
     if args.search:
@@ -175,19 +183,18 @@ def main(argv=None) -> int:
                 fcn8_apply, fcn_params, dae_params, val_batches,
                 n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,
                 h_taps=tuple(args.concat_h), depth=args.dae_depth,
-                encoder=args.dae_encoder,
+                encoder=args.dae_encoder, compute_dtype=compute_dtype,
             )
         else:
             res = grid_search_eps_k(
                 fcn8_apply, score_apply, fcn_params, dae_params, val_batches,
                 n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,
                 h_taps=tuple(args.concat_h), mode=args.mode, renorm=args.renorm,
-                dae_kwargs=score_kwargs,
+                dae_kwargs=score_kwargs, compute_dtype=compute_dtype,
             )
         eps, num_steps = res["best_eps"], res["best_k"]
         print(f"val search: best eps={eps} K={num_steps} (val mIoU {res['best_miou']:.4f})")
 
-    compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     # num_steps=0 is honest (search may pick K=0 when the FCN has no
     # headroom): the scan has length 0 and yk == y0 — never report a 1-step
     # result as K=0 (ADVICE r1).

@@ -64,6 +64,19 @@ def test_predict_half_engine(params):
     assert np.abs(pr_rect - pr_base).max() > 1e-5
 
 
+def test_predictor_input_scale_byte_range(params):
+    # byte-range input declared via input_scale=255 must predict the same
+    # labels as the equivalent [0,1] input (explicit contract, no heuristic)
+    fcn, _ = params
+    imgs01 = np.random.default_rng(7).random((2, 48, 64, 3)).astype(np.float32)
+    p01 = Predictor(fcn, dataset=TINY, batch_size=2, num_steps=0)
+    p255 = Predictor(fcn, dataset=TINY, batch_size=2, num_steps=0, input_scale=255.0)
+    a = p01.predict(imgs01)
+    b = p255.predict(imgs01 * 255.0)
+    # x*255/255 is not bit-exact, so argmax ties may flip on isolated pixels
+    assert np.mean(a != b) < 1e-3
+
+
 def test_predict_chunking_matches_single_shot(params):
     fcn, dae = params
     imgs = np.random.default_rng(2).random((5, 48, 64, 3)).astype(np.float32)
