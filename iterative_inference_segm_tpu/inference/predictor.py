@@ -143,7 +143,7 @@ class Predictor:
     ) -> "Predictor":
         from iterative_inference_segm_tpu.models import init_fcn8, init_dae
         from iterative_inference_segm_tpu.models.dae import DAE_H_CHANNELS
-        from iterative_inference_segm_tpu.utils.checkpoint import load_npz
+        from iterative_inference_segm_tpu.utils.checkpoint import check_npz_meta, load_npz
 
         fcn_t = init_fcn8(
             jax.random.PRNGKey(0), n_classes=dataset.n_classes,
@@ -152,6 +152,21 @@ class Predictor:
         fcn = load_npz(fcn_npz, fcn_t)
         dae = None
         if dae_npz:
+            # Fail fast on shape-invisible architecture mismatches (notably
+            # encoder='pool'|'stride' — ADVICE r2); shape-visible knobs would
+            # fail in load_npz anyway, but this error names the flag.
+            check_npz_meta(
+                dae_npz,
+                {
+                    "arch": "dae",
+                    "encoder": dae_encoder,
+                    "depth": dae_depth,
+                    "stem_pool": dae_stem_pool,
+                    "tail": dae_tail,
+                    **({"widths": tuple(dae_widths)} if dae_widths else {}),
+                },
+                context=f"Predictor.from_npz({dae_npz})",
+            )
             dae_t = init_dae(
                 jax.random.PRNGKey(0), n_classes=dataset.n_classes,
                 h_specs={n: DAE_H_CHANNELS[n] for n in h_taps},

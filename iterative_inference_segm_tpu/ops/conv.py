@@ -332,11 +332,14 @@ def avg_pool(x: jax.Array, *, window: int = 2, stride: int = 2) -> jax.Array:
     measured ~1.4x faster than ``lax.reduce_window`` on v5e for the
     (360,480,11) bf16 stem pool (tools/tail2_probe.py), with f32 MXU
     accumulation (the 1/w^2 scale is a power of two, so products are exact
-    in bf16). Wide maps keep the reduce_window path — a CxC eye kernel
-    would waste C MXU lanes per output.
+    in bf16 — hence the power-of-two window gate below; a window=3 pool
+    would scale by 1/9, inexact in bf16, and must keep reduce_window).
+    Wide maps keep the reduce_window path — a CxC eye kernel would waste C
+    MXU lanes per output.
     """
     c = int(x.shape[-1])
-    if jnp.issubdtype(x.dtype, jnp.floating) and c <= 64:
+    pow2_window = window > 0 and (window & (window - 1)) == 0
+    if jnp.issubdtype(x.dtype, jnp.floating) and c <= 64 and pow2_window:
         eye = jnp.eye(c, dtype=x.dtype) / (window * window)
         w = jnp.broadcast_to(eye[None, None], (window, window, c, c))
         return conv2d(x, w, stride=stride, padding="VALID")

@@ -200,7 +200,11 @@ def train_fcn8(
         if stopper.update(epoch, val_miou):
             best_params = params
             if workdir:
-                save_npz(Path(workdir) / "best_fcn8.npz", jax.device_get(best_params))
+                save_npz(
+                    Path(workdir) / "best_fcn8.npz",
+                    jax.device_get(best_params),
+                    meta={"arch": "fcn8", "fc_channels": fc_channels},
+                )
         if workdir and checkpoint_every and epoch % checkpoint_every == 0:
             from iterative_inference_segm_tpu.utils.checkpoint import save_checkpoint
 

@@ -29,16 +29,114 @@ def _flatten(tree, prefix="") -> dict:
     return out
 
 
-def save_npz(path: str | os.PathLike, params) -> None:
-    """Flat `name/subname -> array` npz export (reference-compatible spirit)."""
+# Flat-npz entries under this prefix carry ARCHITECTURE metadata, not
+# weights. Motivation (ADVICE r2): knobs like the DAE encoder style
+# ('pool' vs 'stride') change NO param shapes, so loading a checkpoint with
+# the wrong flag succeeds silently and serves degraded predictions. The
+# trainers stamp these keys; loaders validate them when the caller declares
+# what it expects.
+_META_PREFIX = "__meta__/"
+
+
+def _meta_to_npz(meta: dict) -> dict:
+    out = {}
+    for k, v in meta.items():
+        if isinstance(v, (tuple, list)):
+            v = np.asarray(v)
+        out[_META_PREFIX + k] = np.asarray(v)
+    return out
+
+
+def _npz_value_to_py(arr: np.ndarray):
+    arr = np.asarray(arr)
+    if arr.ndim == 0:
+        v = arr[()]
+        if isinstance(v, (np.str_, str)):
+            return str(v)
+        if isinstance(v, (np.bool_, bool)):
+            return bool(v)
+        if isinstance(v, np.integer):
+            return int(v)
+        if isinstance(v, np.floating):
+            return float(v)
+        return v
+    if np.issubdtype(arr.dtype, np.integer):
+        return tuple(int(x) for x in arr)
+    return tuple(arr.tolist())
+
+
+def read_npz_meta(path: str | os.PathLike) -> dict:
+    """Architecture metadata stored in a flat-npz checkpoint ({} if none —
+    e.g. a pre-round-3 export)."""
+    data = np.load(path)
+    return {
+        k[len(_META_PREFIX):]: _npz_value_to_py(data[k])
+        for k in data.files
+        if k.startswith(_META_PREFIX)
+    }
+
+
+def check_npz_meta(path: str | os.PathLike, expect: dict, *, context: str = "") -> None:
+    """Validate declared architecture flags against a checkpoint's stamped
+    metadata. Mismatches raise; keys the checkpoint never stamped warn once
+    (old exports are accepted but unverifiable)."""
+    stored = read_npz_meta(path)
+    missing = [k for k in expect if k not in stored]
+    bad = {
+        k: (stored[k], expect[k])
+        for k in expect
+        if k in stored and _normalize_meta(stored[k]) != _normalize_meta(expect[k])
+    }
+    if bad:
+        detail = ", ".join(
+            f"{k}: checkpoint={s!r} vs requested={e!r}" for k, (s, e) in bad.items()
+        )
+        raise ValueError(
+            f"{context or path}: architecture flags do not match the checkpoint's "
+            f"stamped metadata ({detail}). These knobs change no param shapes, so "
+            "loading would succeed silently and serve degraded predictions — "
+            "pass the flags the checkpoint was trained with."
+        )
+    if missing:
+        import warnings
+
+        warnings.warn(
+            f"{context or path}: checkpoint carries no metadata for "
+            f"{sorted(missing)}; cannot verify the declared architecture "
+            "(old export?). Proceeding unchecked.",
+            stacklevel=2,
+        )
+
+
+def _normalize_meta(v):
+    if isinstance(v, (tuple, list)):
+        return tuple(v)
+    return v
+
+
+def save_npz(path: str | os.PathLike, params, *, meta: dict | None = None) -> None:
+    """Flat `name/subname -> array` npz export (reference-compatible spirit).
+
+    ``meta`` (optional) stamps architecture metadata under ``__meta__/`` keys
+    (strings/numbers/bools/int tuples) — see ``check_npz_meta``.
+    """
     flat = _flatten(params)
+    if meta:
+        overlap = set(flat) & set(_meta_to_npz(meta))
+        if overlap:
+            raise ValueError(f"meta keys collide with param keys: {sorted(overlap)}")
+        flat.update(_meta_to_npz(meta))
     np.savez(path, **flat)
 
 
 def load_npz(path: str | os.PathLike, template) -> object:
-    """Load a flat npz into the structure of ``template`` (keys must match)."""
+    """Load a flat npz into the structure of ``template`` (keys must match).
+
+    ``__meta__/`` entries are metadata, not weights — read them with
+    ``read_npz_meta`` / validate with ``check_npz_meta``.
+    """
     data = np.load(path)
-    flat = {k: data[k] for k in data.files}
+    flat = {k: data[k] for k in data.files if not k.startswith(_META_PREFIX)}
 
     def rebuild(tree, prefix=""):
         if isinstance(tree, dict):

@@ -141,7 +141,12 @@ def main(argv=None) -> int:
         if args.arch == "contextmod":
             from iterative_inference_segm_tpu.models import contextmod_apply
 
-            score_apply = lambda p, y, h, **kw: contextmod_apply(p, y, h)
+            # forward compute_dtype: grid_search_eps_k injects it via
+            # dae_kwargs, and dropping it would silently run the score net
+            # in f32 under --bf16 (ADVICE r2) — contextmod_apply accepts it
+            score_apply = lambda p, y, h, **kw: contextmod_apply(
+                p, y, h, compute_dtype=kw.get("compute_dtype", jnp.float32)
+            )
             score_kwargs = {}
         else:
             score_apply = dae_apply

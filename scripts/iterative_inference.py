@@ -114,7 +114,11 @@ def main(argv=None) -> int:
         dae_template = init_contextmod(
             jax.random.PRNGKey(args.seed + 1), n_classes=cfg.n_classes, h_channels=h_ch
         )
-        score_apply = lambda p, y, h, **kw: contextmod_apply(p, y, h)
+        # forward compute_dtype (grid_search_eps_k injects it via dae_kwargs;
+        # dropping it would run the score net in f32 under --bf16, ADVICE r2)
+        score_apply = lambda p, y, h, **kw: contextmod_apply(
+            p, y, h, compute_dtype=kw.get("compute_dtype", jnp.float32)
+        )
         score_kwargs = {}
     else:
         h_specs = {name: DAE_H_CHANNELS[name] for name in args.concat_h}
@@ -129,7 +133,21 @@ def main(argv=None) -> int:
         )
         score_apply = dae_apply
         score_kwargs = {"depth": args.dae_depth, "encoder": args.dae_encoder}
-    dae_params = load_npz(args.dae_npz, dae_template) if args.dae_npz else dae_template
+    if args.dae_npz:
+        from iterative_inference_segm_tpu.utils.checkpoint import check_npz_meta
+
+        # shape-invisible knobs (encoder style) must match the checkpoint's
+        # stamped metadata or inference silently degrades (ADVICE r2)
+        expect = {"arch": args.arch}
+        if args.arch == "dae":
+            expect.update(
+                encoder=args.dae_encoder, depth=args.dae_depth,
+                stem_pool=args.dae_stem_pool, tail=args.dae_tail,
+            )
+        check_npz_meta(args.dae_npz, expect, context=f"--dae-npz {args.dae_npz}")
+        dae_params = load_npz(args.dae_npz, dae_template)
+    else:
+        dae_params = dae_template
 
     if args.synthetic or not args.data_root:
         from iterative_inference_segm_tpu.data.synthetic import synthetic_batches
