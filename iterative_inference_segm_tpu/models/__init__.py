@@ -19,3 +19,7 @@ from iterative_inference_segm_tpu.models.contextmod import (
     init_contextmod,
     contextmod_apply,
 )
+from iterative_inference_segm_tpu.models.dae_mirror import (
+    init_mirror_dae,
+    mirror_dae_apply,
+)

@@ -380,6 +380,28 @@ def upsample_pool_indices(x: jax.Array, *, factor: int = 2) -> jax.Array:
     return jnp.repeat(x, factor, axis=2)
 
 
+def max_unpool(g: jax.Array, pre: jax.Array, *, window: int = 2, stride: int = 2) -> jax.Array:
+    """Switch-based max-unpooling: scatter ``g`` to the argmax positions of
+    ``pre``'s pooling windows (the SegNet/mirror-DAE inverse of ``max_pool``).
+
+    TPU-native formulation: the exact adjoint (VJP) of ``max_pool`` at
+    ``pre`` — XLA lowers it to ``select_and_scatter``, the same primitive a
+    pooling backward pass uses, so there is no materialized integer switch
+    tensor (the reference's unpooling keeps Theano argmax switches;
+    ``[ref: layers/mylayers.py]``). Exactly one position per window receives
+    each value (select_and_scatter's first-max tie-break). Linear and
+    differentiable in ``g``; the switches are constants (``pre`` enters
+    through ``stop_gradient``), matching the reference semantics where the
+    encoder's pooling pattern is data, not a differentiation path.
+    """
+    pre = lax.stop_gradient(pre)
+    _, vjp = jax.vjp(
+        lambda t: max_pool(t, window=window, stride=stride, ceil_mode=True), pre
+    )
+    (out,) = vjp(g.astype(pre.dtype))
+    return out.astype(g.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Initializers
 # ---------------------------------------------------------------------------

@@ -121,6 +121,12 @@ def make_dae_train_step(
             p, y, hh, depth=dae_depth, compute_dtype=tcfg.compute_dtype,
             encoder=dae_encoder,
         )
+    elif arch == "mirror":
+        from iterative_inference_segm_tpu.models.dae_mirror import mirror_dae_apply
+
+        raw_apply = lambda p, y, hh: mirror_dae_apply(
+            p, y, hh, depth=dae_depth, compute_dtype=tcfg.compute_dtype
+        )
     elif arch == "contextmod":
         from iterative_inference_segm_tpu.models.contextmod import contextmod_apply
 
@@ -187,6 +193,7 @@ def train_dae(
     dae_tail: str = "full",
     dae_widths: tuple[int, ...] | None = None,
     dae_encoder: str = "pool",
+    dae_tied: bool = False,
     arch: str = "dae",
     workdir: str | None = None,
     augment: bool = True,
@@ -217,6 +224,17 @@ def train_dae(
             h_ch = DAE_H_CHANNELS["input"] if "input" in h_taps else 0
             dae_params = init_contextmod(
                 init_key, n_classes=dataset.n_classes, h_channels=h_ch
+            )
+        elif arch == "mirror":
+            from iterative_inference_segm_tpu.models.dae_mirror import init_mirror_dae
+
+            dae_params = init_mirror_dae(
+                init_key,
+                n_classes=dataset.n_classes,
+                h_specs={name: DAE_H_CHANNELS[name] for name in h_taps},
+                depth=dae_depth,
+                tied=dae_tied,
+                **({"widths": dae_widths} if dae_widths else {}),
             )
         else:
             h_specs = {name: DAE_H_CHANNELS[name] for name in h_taps}
@@ -250,6 +268,16 @@ def train_dae(
     # the wrong flag and serve degraded predictions (ADVICE r2).
     if arch == "contextmod":
         ckpt_meta = {"arch": arch, "h": tuple(h_taps)}
+    elif arch == "mirror":
+        from iterative_inference_segm_tpu.models.dae import DEFAULT_WIDTHS
+
+        ckpt_meta = {
+            "arch": arch,
+            "depth": dae_depth,
+            "tied": dae_tied,
+            "widths": tuple(dae_widths) if dae_widths else DEFAULT_WIDTHS[:dae_depth],
+            "h": tuple(h_taps),
+        }
     else:
         from iterative_inference_segm_tpu.models.dae import DEFAULT_WIDTHS
 

@@ -266,3 +266,96 @@ def import_lasagne_npz(path, params: dict, *, strict: bool = False, flip_deconvs
     arrays = [data[k] for k in keys]
     named = group_lasagne_arrays(arrays, params)
     return import_fcn8_reference(named, params, strict=strict, flip_deconvs=flip_deconvs)
+
+
+def group_mirror_dae_arrays(arrays, params: dict) -> dict:
+    """Group a positional Lasagne param list into a mirror-DAE pytree overlay.
+
+    Assumed build order (``[ref: models/DAE_h.py]`` ``buildDAE`` — the
+    reference mount is empty, so this is the natural Lasagne build order
+    for the SURVEY.md §3.1 topology and must be re-verified at first
+    contact, see models/dae_mirror.py provenance note):
+
+        enc1.W (OIHW), enc1.b, ..., encD.W, encD.b,        # encoder, shallow->deep
+        decD.[W,] decD.b, ..., dec1.[W,] dec1.b,           # decoder, deep->shallow
+        out.W, out.b                                       # 1x1 head
+
+    Tied checkpoints (``get_all_param_values`` skips tied Ws — Lasagne
+    expressions are not params) carry decoder BIASES only; whether the
+    checkpoint is tied is inferred from the template
+    (``models.dae_mirror.mirror_tied_of``). Kernels are Lasagne OIHW and
+    converted to this framework's HWIO.
+    """
+    from iterative_inference_segm_tpu.models.dae_mirror import mirror_depth_of, mirror_tied_of
+
+    arrays = [np.asarray(a) for a in arrays]
+    depth = mirror_depth_of(params)
+    tied = mirror_tied_of(params)
+
+    order: list[tuple[str, bool]] = []  # (layer name, has kernel)
+    order += [(f"enc{i + 1}", True) for i in range(depth)]
+    if "mid" in params:  # bottleneck conditioning conv (untied, built after the encoder)
+        order += [("mid", True)]
+    order += [(f"dec{i + 1}", not tied) for i in reversed(range(depth))]
+    order += [("out", True)]
+
+    out: dict = {}
+    i = 0
+    for name, has_w in order:
+        entry = {}
+        tmpl = params[name]
+        if has_w:
+            kh, kw, cin, cout = (int(d) for d in tmpl["w"].shape)
+            want = (cout, cin, kh, kw)
+            if i >= len(arrays) or tuple(arrays[i].shape) != want:
+                got = tuple(arrays[i].shape) if i < len(arrays) else "end-of-list"
+                raise ValueError(
+                    f"mirror-DAE import: {name}.W expected OIHW {want}, got {got} "
+                    f"at position {i} — checkpoint order does not match the "
+                    "assumed buildDAE sequence (see group_mirror_dae_arrays)"
+                )
+            entry["w"] = oihw_to_hwio(arrays[i])
+            i += 1
+        bshape = tuple(int(d) for d in tmpl["b"].shape)
+        if i >= len(arrays) or tuple(arrays[i].shape) != bshape:
+            got = tuple(arrays[i].shape) if i < len(arrays) else "end-of-list"
+            raise ValueError(
+                f"mirror-DAE import: {name}.b expected {bshape}, got {got}"
+            )
+        entry["b"] = arrays[i]
+        i += 1
+        out[name] = entry
+    if i != len(arrays):
+        raise ValueError(
+            f"mirror-DAE import: {len(arrays) - i} trailing arrays left over "
+            f"(next shape {arrays[i].shape}) — checkpoint does not match the "
+            f"{'tied' if tied else 'untied'} depth-{depth} template"
+        )
+    return out
+
+
+def import_mirror_dae_npz(path, params: dict) -> dict:
+    """Load a reference-era positional mirror-DAE ``.npz`` into an
+    ``init_mirror_dae`` pytree (layout conversion automatic). The template's
+    tied/untied structure selects which checkpoint format is expected."""
+    import jax.numpy as jnp
+
+    data = np.load(path)
+    keys = sorted(
+        data.files,
+        key=lambda k: int(k.split("_")[-1]) if k.split("_")[-1].isdigit() else 10**9,
+    )
+    named = group_mirror_dae_arrays([data[k] for k in keys], params)
+    out = dict(params)
+    for name, entry in named.items():
+        tmpl = params[name]
+        new = {"b": jnp.asarray(entry["b"], dtype=tmpl["b"].dtype)}
+        if "w" in entry:
+            if tuple(entry["w"].shape) != tuple(tmpl["w"].shape):
+                raise ValueError(
+                    f"{name}: converted shape {entry['w'].shape} != model shape "
+                    f"{tuple(tmpl['w'].shape)}"
+                )
+            new["w"] = jnp.asarray(entry["w"], dtype=tmpl["w"].dtype)
+        out[name] = new
+    return out

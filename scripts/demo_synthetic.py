@@ -42,10 +42,14 @@ def main(argv=None) -> int:
                         "(see --mix-prob). Mirrors [ref: train_dae.py]'s from_gt.")
     p.add_argument("--mix-prob", type=float, default=0.5,
                    help="with --corruption mix: probability a batch uses the GT regime")
-    p.add_argument("--arch", choices=["dae", "contextmod"], default="dae",
-                   help="score network: the conditional DAE, or the dilated "
-                        "context module (the reference's ablation variant; "
-                        "conditions on the input image, general engine only)")
+    p.add_argument("--arch", choices=["dae", "mirror", "contextmod"], default="dae",
+                   help="score network: the conditional DAE, the reference-"
+                        "parity mirror DAE (general engine only), or the "
+                        "dilated context module (the reference's ablation "
+                        "variant; conditions on the input image, general "
+                        "engine only)")
+    p.add_argument("--dae-tied", action="store_true",
+                   help="mirror arch: tie decoder kernels to the encoder")
     p.add_argument("--dae-stem-pool", type=int, default=0)
     p.add_argument("--dae-tail", choices=["full", "sep"], default="full")
     p.add_argument("--dae-depth", type=int, default=4)
@@ -77,8 +81,8 @@ def main(argv=None) -> int:
     if args.engine == "half" and args.mode != "score":
         raise SystemExit("--engine half implements score mode only "
                          "(use --engine general for --mode energy)")
-    if args.arch == "contextmod" and args.engine != "general":
-        raise SystemExit("--arch contextmod runs on the general engine only")
+    if args.arch in ("contextmod", "mirror") and args.engine != "general":
+        raise SystemExit(f"--arch {args.arch} runs on the general engine only")
 
 
     import jax.numpy as jnp
@@ -120,7 +124,7 @@ def main(argv=None) -> int:
                    tcfg=tcfg_d, h_taps=h_taps, sigma=args.sigma, from_gt=from_gt,
                    dae_depth=args.dae_depth, dae_stem_pool=args.dae_stem_pool, dae_tail=args.dae_tail,
                    dae_widths=tuple(args.dae_widths) if args.dae_widths else None,
-                   dae_encoder=args.dae_encoder,
+                   dae_encoder=args.dae_encoder, dae_tied=args.dae_tied,
                    arch=args.arch,
                    epoch_callback=lambda e, h, _: print(f"  dae epoch {e}: loss {h['train_loss']:.3f} val mIoU {h['val_miou']:.3f}", flush=True))
     dae_params = rd["params"]
@@ -148,6 +152,11 @@ def main(argv=None) -> int:
                 p, y, h, compute_dtype=kw.get("compute_dtype", jnp.float32)
             )
             score_kwargs = {}
+        elif args.arch == "mirror":
+            from iterative_inference_segm_tpu.models import mirror_dae_apply
+
+            score_apply = mirror_dae_apply
+            score_kwargs = {"depth": args.dae_depth}
         else:
             score_apply = dae_apply
             score_kwargs = {"depth": args.dae_depth, "encoder": args.dae_encoder}

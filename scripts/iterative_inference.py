@@ -43,7 +43,15 @@ def parse_args(argv=None):
                    help="encoder widths; must match the trained DAE npz")
     p.add_argument("--dae-encoder", choices=["pool", "stride"], default="pool",
                    help="encoder style; must match the trained DAE npz")
-    p.add_argument("--arch", default="dae", choices=["dae", "contextmod"])
+    p.add_argument("--arch", default="dae", choices=["dae", "mirror", "contextmod"],
+                   help="score network: TPU score-fusion DAE, reference-parity "
+                        "mirror DAE, or the dilated context module")
+    p.add_argument("--dae-tied", action="store_true",
+                   help="mirror arch: expect a weight-tied checkpoint")
+    p.add_argument("--dae-mirror-npz", default=None,
+                   help="load the mirror DAE from a reference-era positional "
+                        ".npz (Lasagne get_all_param_values layout; see "
+                        "utils.import_weights.import_mirror_dae_npz)")
     p.add_argument("--epsilon", type=float, default=0.1)
     p.add_argument("--num-steps", type=int, default=5)
     p.add_argument("--mode", default="score", choices=["score", "energy"])
@@ -120,6 +128,19 @@ def main(argv=None) -> int:
             p, y, h, compute_dtype=kw.get("compute_dtype", jnp.float32)
         )
         score_kwargs = {}
+    elif args.arch == "mirror":
+        from iterative_inference_segm_tpu.models import init_mirror_dae, mirror_dae_apply
+
+        dae_template = init_mirror_dae(
+            jax.random.PRNGKey(args.seed + 1),
+            n_classes=cfg.n_classes,
+            h_specs={name: DAE_H_CHANNELS[name] for name in args.concat_h},
+            depth=args.dae_depth,
+            tied=args.dae_tied,
+            **({"widths": tuple(args.dae_widths)} if args.dae_widths else {}),
+        )
+        score_apply = mirror_dae_apply
+        score_kwargs = {"depth": args.dae_depth}
     else:
         h_specs = {name: DAE_H_CHANNELS[name] for name in args.concat_h}
         dae_template = init_dae(
@@ -133,7 +154,13 @@ def main(argv=None) -> int:
         )
         score_apply = dae_apply
         score_kwargs = {"depth": args.dae_depth, "encoder": args.dae_encoder}
-    if args.dae_npz:
+    if args.dae_mirror_npz:
+        if args.arch != "mirror":
+            raise SystemExit("--dae-mirror-npz requires --arch mirror")
+        from iterative_inference_segm_tpu.utils.import_weights import import_mirror_dae_npz
+
+        dae_params = import_mirror_dae_npz(args.dae_mirror_npz, dae_template)
+    elif args.dae_npz:
         from iterative_inference_segm_tpu.utils.checkpoint import check_npz_meta
 
         # shape-invisible knobs (encoder style) must match the checkpoint's
@@ -144,6 +171,8 @@ def main(argv=None) -> int:
                 encoder=args.dae_encoder, depth=args.dae_depth,
                 stem_pool=args.dae_stem_pool, tail=args.dae_tail,
             )
+        elif args.arch == "mirror":
+            expect.update(depth=args.dae_depth, tied=args.dae_tied)
         check_npz_meta(args.dae_npz, expect, context=f"--dae-npz {args.dae_npz}")
         dae_params = load_npz(args.dae_npz, dae_template)
     else:

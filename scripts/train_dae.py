@@ -47,8 +47,14 @@ def parse_args(argv=None):
                         "convs (TPU-fast; same param shapes)")
     p.add_argument("--dae-stem-pool", type=int, default=0,
                    help="pool the input map N times before the encoder (TPU latency opt)")
-    p.add_argument("--arch", default="dae", choices=["dae", "contextmod"],
-                   help="score-network architecture (contextmod = dilated context module)")
+    p.add_argument("--arch", default="dae", choices=["dae", "mirror", "contextmod"],
+                   help="score-network architecture: 'dae' = the TPU score-fusion "
+                        "flagship; 'mirror' = the reference-parity conv/pool <-> "
+                        "unpool/conv mirror (models/dae_mirror.py); 'contextmod' "
+                        "= dilated context module")
+    p.add_argument("--dae-tied", action="store_true",
+                   help="mirror arch only: tie decoder kernels to the encoder "
+                        "(W_dec = W_enc^T, the classic-DAE knob the reference exposes)")
     p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--weight-decay", type=float, default=1e-4)
     p.add_argument("--batch-size", type=int, default=10)
@@ -161,6 +167,7 @@ def main(argv=None) -> int:
         dae_tail=args.dae_tail,
         dae_widths=tuple(args.dae_widths) if args.dae_widths else None,
         dae_encoder=args.dae_encoder,
+        dae_tied=args.dae_tied,
         arch=args.arch,
         workdir=workdir,
         augment=not args.no_augment,
