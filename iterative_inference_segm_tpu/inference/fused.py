@@ -202,6 +202,74 @@ def full_logits(params: dict, s_k: jax.Array, y: jax.Array) -> jax.Array:
     return u + conv2d(y.astype(u.dtype), p["w"], p["b"], padding="SAME")
 
 
+def _half_denoise(params: dict, core_fn: Callable, x: jax.Array, state_dtype) -> jax.Array:
+    """The half engine's per-step denoiser: r(x) = softmax(core(x) + tail_h(x))."""
+    s = core_fn(x).astype(state_dtype)
+    return jax.nn.softmax(half_logits(params, x, s), -1)
+
+
+def half_step_gradient(
+    params: dict,
+    core_fn: Callable,
+    x: jax.Array,
+    *,
+    mode: str,
+    state_dtype,
+    s: jax.Array | None = None,
+) -> jax.Array:
+    """Refinement gradient at the pooled scale.
+
+    ``'score'`` is the direct Alain-Bengio estimate x - r(x) (the benched
+    flagship numerics, unchanged). ``'energy'`` differentiates through the
+    pooled denoiser — d/dx [ 0.5*||x - r(x)||^2 ] with r = core + half tail,
+    all plain jnp, so ``jax.grad`` flows through the mid-res encoder/decoder
+    exactly as the reference's ``T.grad`` flows through its DAE
+    (``[ref: iterative_inference.py]``, SURVEY.md §4.3) — at the pooled
+    scale this engine iterates on.
+
+    ``s`` (score mode only): a precomputed ``core_fn(x)`` to share with a
+    same-step rectification (the search's one-core-call-per-step trick);
+    energy mode must run the core inside the differentiated function.
+    """
+    if mode == "score":
+        if s is not None:
+            return x - jax.nn.softmax(half_logits(params, x, s), -1)
+        return x - _half_denoise(params, core_fn, x, state_dtype)
+    if mode == "energy":
+
+        def energy(xx):
+            r = _half_denoise(params, core_fn, xx, state_dtype)
+            return 0.5 * jnp.sum(jnp.square(xx - r))
+
+        return jax.grad(energy)(x)
+    raise ValueError(f"unknown mode {mode!r}; expected 'score' or 'energy'")
+
+
+def full_rect_gradient(params: dict, s_k: jax.Array, y: jax.Array, *, mode: str) -> jax.Array:
+    """Gradient of the one full-resolution rectification step.
+
+    ``s_k`` (the core output at the final pooled iterate) is a constant of
+    the rectification — the update variable is the full-res map ``y``, which
+    enters through the tail's score_input path. In energy mode the gradient
+    therefore carries the tail Jacobian only (the pooled trajectory's core
+    Jacobians were already applied at their own steps).
+    """
+
+    def denoise(yy):
+        return jax.nn.softmax(full_logits(params, s_k, yy), -1)
+
+    if mode == "score":
+        return y - denoise(y)
+    if mode == "energy":
+
+        def energy(yy):
+            r = denoise(yy)
+            return 0.5 * jnp.sum(jnp.square(yy - r))
+
+        return jax.grad(energy)(y)
+    raise ValueError(f"unknown mode {mode!r}; expected 'score' or 'energy'")
+
+
 def halfres_refinement_scan(
     params: dict,
     core_fn: Callable[[jax.Array], jax.Array],
@@ -210,6 +278,7 @@ def halfres_refinement_scan(
     eps: float | jax.Array,
     num_steps: int,
     state_dtype=None,
+    mode: str = "score",
 ) -> jax.Array:
     """K refinement steps on the POOLED class map + one full-res rectification.
 
@@ -235,9 +304,16 @@ def halfres_refinement_scan(
     (``[ref: iterative_inference_valid.py]``).
 
     Works with both tails: 'full' (dense score_input/up_stem) and 'sep'.
+
+    ``mode``: 'score' (default — the benched flagship numerics, softmax at
+    state_dtype per step) or 'energy' (grad-through-the-denoiser at the
+    pooled scale + tail-Jacobian rectification; see ``half_step_gradient`` /
+    ``full_rect_gradient``). Both rules run inside the same single scan.
     """
     if dae_stem_pool_of(params) != 1:
         raise ValueError("half engine requires a stem_pool=1 DAE")
+    if mode not in ("score", "energy"):
+        raise ValueError(f"unknown mode {mode!r}; expected 'score' or 'energy'")
     if state_dtype is None:
         state_dtype = y0.dtype
     eps_s = jnp.asarray(eps, state_dtype)
@@ -251,13 +327,13 @@ def halfres_refinement_scan(
     x0 = avg_pool(y0.astype(state_dtype), window=2, stride=2)
 
     def step(x, _):
-        s = core_fn(x).astype(state_dtype)
-        # softmax at state_dtype: jax.nn.softmax subtracts the max first, so
-        # bf16 logits stay in range; bf16 probabilities carry ~2-3 decimal
-        # digits, plenty for a blend that feeds an argmax. Accuracy of the
-        # full bf16 configuration is demo-verified (ARCHITECTURE.md).
-        r = jax.nn.softmax(half_logits(params, x, s), -1)
-        return x - eps_s * (x - r), None
+        # score mode: softmax at state_dtype — jax.nn.softmax subtracts the
+        # max first, so bf16 logits stay in range; bf16 probabilities carry
+        # ~2-3 decimal digits, plenty for a blend that feeds an argmax.
+        # Accuracy of the full bf16 configuration is demo-verified
+        # (ARCHITECTURE.md).
+        g = half_step_gradient(params, core_fn, x, mode=mode, state_dtype=state_dtype)
+        return x - eps_s * g, None
 
     x_k, _ = lax.scan(step, x0, None, length=num_steps)
 
@@ -267,8 +343,7 @@ def halfres_refinement_scan(
     # metrics pass), neither of which needs f32.
     s_k = core_fn(x_k).astype(state_dtype)
     y0s = y0.astype(state_dtype)
-    r_full = jax.nn.softmax(full_logits(params, s_k, y0s), -1)
-    return y0s - eps_s * (y0s - r_full)
+    return y0s - eps_s * full_rect_gradient(params, s_k, y0s, mode=mode)
 
 
 def make_half_refiner(
@@ -283,11 +358,13 @@ def make_half_refiner(
     compute_dtype=jnp.float32,
     state_dtype=None,
     encoder: str = "pool",
+    mode: str = "score",
 ) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]:
     """Jitted image batch -> (y0, yK) via the half-resolution engine.
 
     ``encoder`` must match the style the DAE was trained with
-    (models.dae.dae_core: 'pool' classic / 'stride' strided-conv)."""
+    (models.dae.dae_core: 'pool' classic / 'stride' strided-conv).
+    ``mode``: 'score' or 'energy' (see ``halfres_refinement_scan``)."""
 
     # params as jit ARGUMENTS — closures over weights exceed the device
     # relay's compile-request limit for real-size models (CLAUDE.md)
@@ -314,7 +391,7 @@ def make_half_refiner(
 
         y_k = halfres_refinement_scan(
             dae_params, core_fn, y0, eps=eps, num_steps=num_steps,
-            state_dtype=state_dtype or compute_dtype,
+            state_dtype=state_dtype or compute_dtype, mode=mode,
         )
         return y0, y_k
 

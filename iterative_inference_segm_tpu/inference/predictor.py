@@ -73,8 +73,6 @@ class Predictor:
         refine = dae_params is not None and (num_steps > 0 or engine == "half")
         if engine not in ("general", "half"):
             raise ValueError(f"unknown engine {engine!r}; expected 'general' or 'half'")
-        if engine == "half" and mode != "score":
-            raise ValueError("engine='half' serves score mode only")
 
         def _predict(fcn_params, dae_params, x):
             if normalize:
@@ -114,7 +112,7 @@ class Predictor:
                 )
                 y = halfres_refinement_scan(
                     dae_params, core_fn, y0, eps=eps, num_steps=num_steps,
-                    state_dtype=compute_dtype,
+                    state_dtype=compute_dtype, mode=mode,
                 )
             elif refine:
                 dae_fn = lambda yy: dae_apply(

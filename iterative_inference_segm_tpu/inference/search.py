@@ -103,6 +103,7 @@ def grid_search_eps_k_half(
     depth: int = 3,
     compute_dtype=jnp.float32,
     encoder: str = "pool",
+    mode: str = "score",
 ) -> dict:
     """(eps, K) search for the HALF engine (inference/fused.py).
 
@@ -111,9 +112,15 @@ def grid_search_eps_k_half(
     Scoring reuses the general search's one-trajectory trick: the scan over
     K emits the confusion matrix of rectify(x_k) at every k (one dae_core
     call per k — the rectification shares the step's core output), and eps
-    is traced so the whole grid is one compiled program.
+    is traced so the whole grid is one compiled program. ``mode`` selects
+    the update rule ('score' / 'energy') — the step math is the engine's own
+    ``half_step_gradient`` / ``full_rect_gradient``, so selection runs the
+    numerics that will be deployed.
     """
-    from iterative_inference_segm_tpu.inference.fused import full_logits, half_logits
+    from iterative_inference_segm_tpu.inference.fused import (
+        full_rect_gradient,
+        half_step_gradient,
+    )
     from iterative_inference_segm_tpu.models.dae import dae_core, dae_stem_pool_of
     from iterative_inference_segm_tpu.ops.conv import avg_pool
 
@@ -152,13 +159,12 @@ def grid_search_eps_k_half(
 
         def step(xc, _):
             s = core_fn(xc).astype(compute_dtype)
-            r_full = jax.nn.softmax(
-                full_logits(dae_params, s, y0).astype(compute_dtype), -1
-            )
-            y_k = y0 - eps_c * (y0 - r_full)
+            y_k = y0 - eps_c * full_rect_gradient(dae_params, s, y0, mode=mode)
             cm = confusion_matrix(jnp.argmax(y_k, -1), labels, n_classes=n_classes)
-            r_half = jax.nn.softmax(half_logits(dae_params, xc, s).astype(compute_dtype), -1)
-            xc = xc - eps_c * (xc - r_half.astype(xc.dtype))
+            xc = xc - eps_c * half_step_gradient(
+                dae_params, core_fn, xc, mode=mode, state_dtype=compute_dtype,
+                s=s if mode == "score" else None,
+            )
             return xc, cm
 
         _, cms = jax.lax.scan(step, x0, None, length=k_max + 1)

@@ -51,8 +51,14 @@ def make_dae_train_step(
     dae_encoder: str = "pool",
     corruption_impl: str = "auto",
     arch: str = "dae",
+    mesh=None,
 ):
     """Jitted DAE train/eval steps with the frozen FCN inside the program.
+
+    ``mesh``: a 'data'-axis Mesh makes both steps data-parallel via
+    ``shard_map`` (batches sharded, params + frozen FCN replicated, per-device
+    rng fold-in, grad/loss pmean, confusion-matrix psum) — the same pattern
+    as ``make_fcn8_train_step``.
 
     The frozen FCN params are an explicit argument (not a closure) so they
     are runtime inputs — closing over them would bake ~500MB of VGG weights
@@ -142,8 +148,12 @@ def make_dae_train_step(
         recon = apply_fn(dae_params, y_tilde, h)
         return crossentropy_probs(recon, labels, n_classes=cfg.n_classes), recon
 
-    @jax.jit
-    def train_step(dae_params, opt_state, fcn_params, images, labels, rng):
+    axis = "data"
+
+    def train_core(dae_params, opt_state, fcn_params, images, labels, rng, *, dp: bool):
+        if dp:
+            # decorrelate per-device randomness (crops, corruption noise)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         aug_rng, noise_rng = jax.random.split(rng)
         if normalize:
             images = normalize_image(images, cfg)
@@ -158,12 +168,16 @@ def make_dae_train_step(
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             dae_params, y_tilde, h, labels
         )
+        if dp:
+            loss = jax.lax.pmean(loss, axis)
+            grads = jax.lax.pmean(grads, axis)
         updates, opt_state = tx.update(grads, opt_state, dae_params)
         dae_params = jax.tree.map(lambda p, u: p + u, dae_params, updates)
         return dae_params, opt_state, loss
 
-    @jax.jit
-    def eval_step(dae_params, fcn_params, images, labels, rng):
+    def eval_core(dae_params, fcn_params, images, labels, rng, *, dp: bool):
+        if dp:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         if normalize:
             images = normalize_image(images, cfg)
         probs, h = fcn8_apply(
@@ -173,7 +187,39 @@ def make_dae_train_step(
         loss, recon = loss_fn(dae_params, y_tilde, h, labels)
         pred = jnp.argmax(recon, axis=-1)
         cm = confusion_matrix(pred, labels, n_classes=cfg.n_classes)
+        if dp:
+            cm = jax.lax.psum(cm, axis)
+            loss = jax.lax.pmean(loss, axis)
         return cm, loss
+
+    if mesh is None:
+        train_step = jax.jit(
+            lambda d, o, f, x, y, r: train_core(d, o, f, x, y, r, dp=False)
+        )
+        eval_step = jax.jit(lambda d, f, x, y, r: eval_core(d, f, x, y, r, dp=False))
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        rep, sh = P(), P(axis)
+        train_step = jax.jit(
+            shard_map(
+                lambda d, o, f, x, y, r: train_core(d, o, f, x, y, r, dp=True),
+                mesh=mesh,
+                in_specs=(rep, rep, rep, sh, sh, rep),
+                out_specs=(rep, rep, rep),
+                check_vma=False,
+            )
+        )
+        eval_step = jax.jit(
+            shard_map(
+                lambda d, f, x, y, r: eval_core(d, f, x, y, r, dp=True),
+                mesh=mesh,
+                in_specs=(rep, rep, sh, sh, rep),
+                out_specs=(rep, rep),
+                check_vma=False,
+            )
+        )
 
     return train_step, eval_step
 
@@ -202,12 +248,14 @@ def train_dae(
     resume: bool = True,
     checkpoint_every: int = 1,
     corruption_impl: str = "auto",
+    mesh=None,
     epoch_callback: Callable | None = None,
 ) -> dict:
     """Train the conditional DAE against a frozen FCN-8.
 
     Mirrors the reference CLI knobs: ``h_taps`` = concat_h, ``sigma`` = noise
-    level, ``from_gt`` selects the corruption regime.
+    level, ``from_gt`` selects the corruption regime. ``mesh``: train
+    data-parallel over the mesh's 'data' axis (see ``make_dae_train_step``).
     """
     tcfg = tcfg or TrainConfig()
     key = jax.random.PRNGKey(tcfg.seed)
@@ -258,7 +306,18 @@ def train_dae(
         dae_encoder=dae_encoder,
         corruption_impl=corruption_impl,
         arch=arch,
+        mesh=mesh,
     )
+
+    if mesh is not None:
+        from iterative_inference_segm_tpu.parallel.sharding import replicate, shard_batch
+
+        dae_params = replicate(mesh, dae_params)
+        opt_state = replicate(mesh, opt_state)
+        fcn_params = replicate(mesh, fcn_params)
+        put_batch = lambda x, y: shard_batch(mesh, (jnp.asarray(x), jnp.asarray(y)))
+    else:
+        put_batch = lambda x, y: (jnp.asarray(x), jnp.asarray(y))
 
     def batches(src):
         return src() if callable(src) else iter(src)
@@ -324,8 +383,9 @@ def train_dae(
         losses = []
         for images, labels in batches(train_data):
             key, step_key = jax.random.split(key)
+            xb, yb = put_batch(images, labels)
             dae_params, opt_state, loss = train_step(
-                dae_params, opt_state, fcn_params, jnp.asarray(images), jnp.asarray(labels), step_key
+                dae_params, opt_state, fcn_params, xb, yb, step_key
             )
             losses.append(loss)
         train_loss = float(jnp.mean(jnp.stack(losses)))
@@ -333,8 +393,9 @@ def train_dae(
         cm_total = None
         val_losses = []
         for i, (images, labels) in enumerate(batches(val_data)):
+            xb, yb = put_batch(images, labels)
             cm, vloss = eval_step(
-                dae_params, fcn_params, jnp.asarray(images), jnp.asarray(labels), jax.random.fold_in(key, i)
+                dae_params, fcn_params, xb, yb, jax.random.fold_in(key, i)
             )
             cm_total = cm if cm_total is None else cm_total + cm
             val_losses.append(vloss)

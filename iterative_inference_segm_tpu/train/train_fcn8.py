@@ -35,11 +35,19 @@ def make_fcn8_train_step(
     augment: bool = True,
     normalize: bool = True,
     fc_channels: int = 4096,
+    mesh=None,
 ):
     """Build the jitted train step: (params, opt_state, batch, rng) -> ...
 
     Augmentation (random crop + flip + normalize) runs inside the same
     program — the host only supplies raw uint8/float batches.
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a 'data' axis makes both steps
+    data-parallel via ``shard_map`` — batches shard over the axis, params
+    replicate, per-device rng decorrelates (fold-in of the axis index, the
+    ``parallel/dp.py`` pattern), and gradients/losses pmean (an XLA
+    all-reduce over ICI) before the identical optimizer update on every
+    device. The batch size must divide the axis size.
     """
 
     from iterative_inference_segm_tpu.models.fcn8 import fcn8_logits
@@ -63,8 +71,12 @@ def make_fcn8_train_step(
         loss = masked_crossentropy(logits, labels, n_classes=cfg.n_classes)
         return loss, logits
 
-    @jax.jit
-    def train_step(params, opt_state, images, labels, rng):
+    axis = "data"
+
+    def train_core(params, opt_state, images, labels, rng, *, dp: bool):
+        if dp:
+            # decorrelate per-device randomness (augmentation crops, dropout)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         aug_rng, drop_rng = jax.random.split(rng)
         if normalize:
             images = normalize_image(images, cfg)
@@ -75,19 +87,51 @@ def make_fcn8_train_step(
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, images, labels, drop_rng
         )
+        if dp:
+            loss = jax.lax.pmean(loss, axis)
+            grads = jax.lax.pmean(grads, axis)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         return params, opt_state, loss
 
-    @jax.jit
-    def eval_step(params, images, labels):
+    def eval_core(params, images, labels, *, dp: bool):
         if normalize:
             images = normalize_image(images, cfg)
         probs, _ = fcn8_apply(params, images, compute_dtype=tcfg.compute_dtype)
         pred = jnp.argmax(probs, axis=-1)
         cm = confusion_matrix(pred, labels, n_classes=cfg.n_classes)
         loss = masked_crossentropy(jnp.log(jnp.clip(probs, 1e-7, 1.0)), labels, n_classes=cfg.n_classes)
+        if dp:
+            cm = jax.lax.psum(cm, axis)  # confusion counts SUM across shards
+            loss = jax.lax.pmean(loss, axis)
         return cm, loss
+
+    if mesh is None:
+        train_step = jax.jit(lambda p, o, x, y, r: train_core(p, o, x, y, r, dp=False))
+        eval_step = jax.jit(lambda p, x, y: eval_core(p, x, y, dp=False))
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        rep, sh = P(), P(axis)
+        train_step = jax.jit(
+            shard_map(
+                lambda p, o, x, y, r: train_core(p, o, x, y, r, dp=True),
+                mesh=mesh,
+                in_specs=(rep, rep, sh, sh, rep),
+                out_specs=(rep, rep, rep),
+                check_vma=False,
+            )
+        )
+        eval_step = jax.jit(
+            shard_map(
+                lambda p, x, y: eval_core(p, x, y, dp=True),
+                mesh=mesh,
+                in_specs=(rep, sh, sh),
+                out_specs=(rep, rep),
+                check_vma=False,
+            )
+        )
 
     return train_step, eval_step
 
@@ -105,9 +149,14 @@ def train_fcn8(
     params=None,
     resume: bool = True,
     checkpoint_every: int = 1,
+    mesh=None,
     epoch_callback: Callable | None = None,
 ) -> dict:
     """Train FCN-8; returns {'params', 'best_miou', 'history', 'epochs'}.
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a 'data' axis trains data-parallel
+    (see ``make_fcn8_train_step``); params/opt_state are placed replicated
+    and every batch is sharded over the axis before each step.
 
     Set ``normalize=False`` when batches are already normalized (e.g. the
     native packed-dataset loader applies mean/std on the host).
@@ -134,8 +183,18 @@ def train_fcn8(
     tx = make_optimizer(tcfg)
     opt_state = tx.init(params)
     train_step, eval_step = make_fcn8_train_step(
-        dataset, tcfg, tx, augment=augment, normalize=normalize, fc_channels=fc_channels
+        dataset, tcfg, tx, augment=augment, normalize=normalize,
+        fc_channels=fc_channels, mesh=mesh,
     )
+
+    if mesh is not None:
+        from iterative_inference_segm_tpu.parallel.sharding import replicate, shard_batch
+
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+        put_batch = lambda x, y: shard_batch(mesh, (jnp.asarray(x), jnp.asarray(y)))
+    else:
+        put_batch = lambda x, y: (jnp.asarray(x), jnp.asarray(y))
 
     def batches(src):
         return src() if callable(src) else iter(src)
@@ -173,16 +232,16 @@ def train_fcn8(
         losses = []
         for images, labels in batches(train_data):
             key, step_key = jax.random.split(key)
-            params, opt_state, loss = train_step(
-                params, opt_state, jnp.asarray(images), jnp.asarray(labels), step_key
-            )
+            xb, yb = put_batch(images, labels)
+            params, opt_state, loss = train_step(params, opt_state, xb, yb, step_key)
             losses.append(loss)
         train_loss = float(jnp.mean(jnp.stack(losses)))
 
         cm_total = None
         val_losses = []
         for images, labels in batches(val_data):
-            cm, vloss = eval_step(params, jnp.asarray(images), jnp.asarray(labels))
+            xb, yb = put_batch(images, labels)
+            cm, vloss = eval_step(params, xb, yb)
             cm_total = cm if cm_total is None else cm_total + cm
             val_losses.append(vloss)
         m = metrics_from_confusion(cm_total)

@@ -78,9 +78,6 @@ def main(argv=None) -> int:
     # fail invalid combinations BEFORE the (potentially long) training runs
     if args.engine == "half" and args.dae_stem_pool != 1:
         raise SystemExit("--engine half requires --dae-stem-pool 1")
-    if args.engine == "half" and args.mode != "score":
-        raise SystemExit("--engine half implements score mode only "
-                         "(use --engine general for --mode energy)")
     if args.arch in ("contextmod", "mirror") and args.engine != "general":
         raise SystemExit(f"--arch {args.arch} runs on the general engine only")
 
@@ -139,7 +136,7 @@ def main(argv=None) -> int:
             fcn8_apply, fcn_params, dae_params, norm(val),
             n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,
             h_taps=("pool4",), depth=args.dae_depth, compute_dtype=cd,
-            encoder=args.dae_encoder,
+            encoder=args.dae_encoder, mode=args.mode,
         )
     else:
         if args.arch == "contextmod":
@@ -174,6 +171,7 @@ def main(argv=None) -> int:
             fcn8_apply, fcn_params, dae_params,
             eps=res["best_eps"], num_steps=res["best_k"], h_taps=("pool4",),
             depth=args.dae_depth, compute_dtype=cd, encoder=args.dae_encoder,
+            mode=args.mode,
         )
     else:
         refine = make_refiner(

@@ -64,6 +64,10 @@ def parse_args(argv=None):
     p.add_argument("--eps-grid", nargs="*", type=float, default=[0.02, 0.05, 0.1, 0.2])
     p.add_argument("--k-max", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--devices", default=None,
+                   help="shard each eval batch over N devices ('auto' = all): "
+                        "the jitted refiner runs SPMD over a 'data' mesh "
+                        "(params replicated, XLA partitions over ICI)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--tiny", action="store_true")
@@ -208,10 +212,8 @@ def main(argv=None) -> int:
         val_batches = norm_batches(va_i, va_l)
         test_batches = norm_batches(te_i, te_l)
 
-    if args.engine == "half" and (
-        args.dae_stem_pool != 1 or args.mode != "score" or args.arch != "dae"
-    ):
-        raise SystemExit("--engine half requires --dae-stem-pool 1, --mode score, --arch dae")
+    if args.engine == "half" and (args.dae_stem_pool != 1 or args.arch != "dae"):
+        raise SystemExit("--engine half requires --dae-stem-pool 1, --arch dae")
     if args.engine == "half" and args.dump_trajectory:
         raise SystemExit(
             "--dump-trajectory is a general-engine artifact (full-res y_k "
@@ -231,6 +233,7 @@ def main(argv=None) -> int:
                 n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,
                 h_taps=tuple(args.concat_h), depth=args.dae_depth,
                 encoder=args.dae_encoder, compute_dtype=compute_dtype,
+                mode=args.mode,
             )
         else:
             res = grid_search_eps_k(
@@ -252,7 +255,7 @@ def main(argv=None) -> int:
             fcn8_apply, fcn_params, dae_params,
             eps=eps, num_steps=num_steps, h_taps=tuple(args.concat_h),
             depth=args.dae_depth, compute_dtype=compute_dtype,
-            encoder=args.dae_encoder,
+            encoder=args.dae_encoder, mode=args.mode,
         )
     else:
         refine = make_refiner(
@@ -291,9 +294,21 @@ def main(argv=None) -> int:
                     traj[k, j], cfg,
                 )
 
+    from iterative_inference_segm_tpu.parallel.mesh import mesh_from_flag
+
+    mesh = mesh_from_flag(args.devices, batch_size=args.batch_size)
+    if mesh is not None:
+        from iterative_inference_segm_tpu.parallel.sharding import batch_sharding
+
+        x_sharding = batch_sharding(mesh, 4)
+        put_x = lambda im: jax.device_put(np.asarray(im, np.float32), x_sharding)
+        print(f"eval batches sharded over {mesh.shape['data']} devices", flush=True)
+    else:
+        put_x = jnp.asarray
+
     cm0 = cmk = None
     for bi, (images, labels) in enumerate(test_batches):
-        y0, yk = refine(jnp.asarray(images))
+        y0, yk = refine(put_x(images))
         p0 = jnp.argmax(y0, -1)
         pk = jnp.argmax(yk, -1)
         labels = jnp.asarray(labels)

@@ -28,6 +28,10 @@ def parse_args(argv=None):
     p.add_argument("--packed", default=None,
                    help="directory of <split>.iist files for the native C++ input runtime")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--devices", default=None,
+                   help="data-parallel training over N devices ('auto' = all "
+                        "visible): batches shard over a 'data' mesh, gradients "
+                        "all-reduce over ICI (parallel/, SURVEY.md §3.4)")
     p.add_argument("--fcn-npz", default=None, help="frozen FCN-8 weights (flat npz)")
     p.add_argument("--concat-h", nargs="*", default=["pool4"],
                    help="FCN taps to condition on (e.g. pool3 pool4 fc7); empty = unconditional")
@@ -153,9 +157,16 @@ def main(argv=None) -> int:
             seed=args.seed,
         ),
     )
+    from iterative_inference_segm_tpu.parallel.mesh import mesh_from_flag
+
+    mesh = mesh_from_flag(args.devices, batch_size=args.batch_size)
+    if mesh is not None:
+        print(f"[train_dae] data-parallel over {mesh.shape['data']} devices", flush=True)
+
     result = train_dae(
         fcn_params=fcn_params,
         dataset=cfg,
+        mesh=mesh,
         train_data=train_data,
         val_data=val_data,
         tcfg=tcfg,

@@ -23,6 +23,10 @@ def parse_args(argv=None):
     p.add_argument("--packed", default=None,
                    help="directory of <split>.iist files for the native C++ input runtime")
     p.add_argument("--synthetic", action="store_true", help="use the synthetic dataset")
+    p.add_argument("--devices", default=None,
+                   help="data-parallel training over N devices ('auto' = all "
+                        "visible): batches shard over a 'data' mesh, gradients "
+                        "all-reduce over ICI (parallel/, SURVEY.md §3.4)")
     p.add_argument("--profile-dir", default=None, help="capture a jax.profiler trace of epoch 0")
     p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--weight-decay", type=float, default=1e-4)
@@ -133,6 +137,12 @@ def main(argv=None) -> int:
 
     from iterative_inference_segm_tpu.utils import profiling
 
+    from iterative_inference_segm_tpu.parallel.mesh import mesh_from_flag
+
+    mesh = mesh_from_flag(args.devices, batch_size=args.batch_size)
+    if mesh is not None:
+        print(f"[train_fcn8] data-parallel over {mesh.shape['data']} devices", flush=True)
+
     trace_cm = (
         profiling.trace(args.profile_dir) if args.profile_dir else contextlib.nullcontext()
     )
@@ -147,6 +157,7 @@ def main(argv=None) -> int:
             augment=not args.no_augment,
             normalize=not args.packed,  # native loader normalizes on the host
             params=params,
+            mesh=mesh,
             epoch_callback=lambda e, h, _p: print(
                 f"epoch {e}: train_loss={h['train_loss']:.4f} val_loss={h['val_loss']:.4f} "
                 f"val_miou={h['val_miou']:.4f}",

@@ -188,3 +188,74 @@ def test_half_search_strided_runs():
     )
     assert res["miou"].shape == (1, 3)
     assert _np.all(_np.isfinite(res["miou"]))
+
+
+def test_half_energy_matches_independent_composition():
+    """Golden for --engine half --mode energy (VERDICT r2 #5): the engine's
+    trajectory must equal an independently-written composition — K energy
+    steps on the pooled map (grad through core + half tail) then one
+    tail-Jacobian rectification — built here straight from jax.grad, not
+    from the engine's helpers."""
+    fcn, dae, x = _setup()
+    y0, h = fcn8_apply(fcn, x, return_features=("pool4",))
+    core_fn = lambda xx: dae_core(dae, xx, h, depth=3, stem_pool=1)
+    eps, K = 0.2, 3
+
+    got = halfres_refinement_scan(dae, core_fn, y0, eps=eps, num_steps=K,
+                                  mode="energy")
+
+    xc = avg_pool(y0, window=2, stride=2)
+
+    def denoise_half(xx):
+        return jax.nn.softmax(half_logits(dae, xx, core_fn(xx)), -1)
+
+    for _ in range(K):
+        g = jax.grad(lambda t: 0.5 * jnp.sum(jnp.square(t - denoise_half(t))))(xc)
+        xc = xc - eps * g
+    s_k = core_fn(xc)
+
+    def denoise_full(yy):
+        return jax.nn.softmax(full_logits(dae, s_k, yy), -1)
+
+    g = jax.grad(lambda t: 0.5 * jnp.sum(jnp.square(t - denoise_full(t))))(y0)
+    want = y0 - eps * g
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_half_energy_differs_from_score_and_is_finite():
+    fcn, dae, x = _setup()
+    for mode in ("score", "energy"):
+        refine = make_half_refiner(fcn8_apply, fcn, dae, eps=0.2, num_steps=2,
+                                   h_taps=("pool4",), depth=3, mode=mode)
+        y0, yk = refine(x)
+        assert np.isfinite(np.asarray(yk, np.float32)).all()
+        if mode == "score":
+            yk_score = yk
+    assert float(jnp.abs(yk - yk_score).max()) > 1e-6
+
+
+def test_half_search_energy_rows_match_engine():
+    from iterative_inference_segm_tpu.ops.metrics import confusion_matrix, metrics_from_confusion
+
+    fcn, dae, x = _setup()
+    labels = jax.random.randint(jax.random.PRNGKey(5), (2, 48, 64), 0, C)
+    res = grid_search_eps_k_half(
+        fcn8_apply, fcn, dae, [(np.asarray(x), np.asarray(labels))],
+        n_classes=C, eps_grid=[0.2], k_max=1, h_taps=("pool4",), depth=3,
+        mode="energy",
+    )
+    for k in range(2):
+        refine = make_half_refiner(fcn8_apply, fcn, dae, eps=0.2, num_steps=k,
+                                   h_taps=("pool4",), depth=3, mode="energy")
+        _, yk = refine(x)
+        cm = confusion_matrix(jnp.argmax(yk, -1), labels, n_classes=C)
+        miou = float(metrics_from_confusion(cm).mean_iou)
+        np.testing.assert_allclose(res["miou"][0, k], miou, atol=1e-6)
+
+
+def test_half_rejects_unknown_mode():
+    fcn, dae, x = _setup()
+    y0 = jnp.zeros((1, 48, 64, C))
+    with pytest.raises(ValueError, match="mode"):
+        halfres_refinement_scan(dae, lambda t: t, y0, eps=0.1, num_steps=1,
+                                mode="bogus")
