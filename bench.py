@@ -67,6 +67,9 @@ def main() -> int:
     p.add_argument("--state-dtype", choices=["bf16", "f32", "compute"], default="compute",
                    help="refinement carry dtype for the general engine "
                         "('compute' follows --dtype)")
+    p.add_argument("--no-fold-tail", action="store_true",
+                   help="half engine: disable the folded per-step tail "
+                        "(inference/fused.fold_half_tail) for A/B runs")
     p.add_argument("--check", action="store_true",
                    help=f"exit 1 if vs_baseline < {PERF_FLOOR} (perf gate)")
     p.add_argument("--no-history", action="store_true",
@@ -123,6 +126,12 @@ def main() -> int:
 
         from iterative_inference_segm_tpu.models.dae import precompute_bottleneck_h
 
+        fold = args.engine == "half" and args.dae_tail == "full" and not args.no_fold_tail
+        if fold:
+            from iterative_inference_segm_tpu.inference.fused import (
+                halfres_refinement_scan_folded,
+            )
+
         @jax.jit
         def pipeline(fcn_params, dae_params, x):
             y0, h = fcn8_apply(
@@ -133,15 +142,26 @@ def main() -> int:
                 dae_params, h, depth=args.dae_depth, stem_pool=1,
                 in_hw=(x.shape[1] // 2, x.shape[2] // 2),
             )
-            core_fn = lambda yp: dae_core(
-                dae_params, yp.astype(compute_dtype), bh[2],
-                depth=args.dae_depth, stem_pool=1, bottleneck_h=bh,
-                encoder=args.dae_encoder,
-            )
-            y_k = scan_impl(
-                dae_params, core_fn, y0, eps=0.1, num_steps=args.steps,
-                state_dtype=state_dtype,
-            )
+            if fold:
+                predense_fn = lambda yp: dae_core(
+                    dae_params, yp.astype(compute_dtype), bh[2],
+                    depth=args.dae_depth, stem_pool=1, bottleneck_h=bh,
+                    encoder=args.dae_encoder, predense=True,
+                )
+                y_k = halfres_refinement_scan_folded(
+                    dae_params, predense_fn, y0, eps=0.1, num_steps=args.steps,
+                    state_dtype=state_dtype, encoder=args.dae_encoder,
+                )
+            else:
+                core_fn = lambda yp: dae_core(
+                    dae_params, yp.astype(compute_dtype), bh[2],
+                    depth=args.dae_depth, stem_pool=1, bottleneck_h=bh,
+                    encoder=args.dae_encoder,
+                )
+                y_k = scan_impl(
+                    dae_params, core_fn, y0, eps=0.1, num_steps=args.steps,
+                    state_dtype=state_dtype,
+                )
             pred = jnp.argmax(y_k, axis=-1)
             return jnp.sum(pred, dtype=jnp.int32)
     else:

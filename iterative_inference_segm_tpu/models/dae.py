@@ -255,9 +255,21 @@ def dae_core(
     stem_pool: int | None = None,
     bottleneck_h: tuple | None = None,
     encoder: str = "pool",
+    predense: bool = False,
 ) -> jax.Array:
     """Encoder + decoder on the (post-stem) map: x at /2^stem_pool -> score
     map s at the same scale (after the 'out' 1x1).
+
+    ``predense=True`` stops the decoder BEFORE its final input-scale stage
+    and returns ``(pre, skip1)`` instead: for the pool encoder, ``pre`` is
+    the fused state at /2 of the core scale (the input of ``up1``) and
+    ``skip1`` the stage-1 pre-pool features; for the stride encoder,
+    ``pre`` is the state after the ``score_enc1`` fusion (``skip1`` is
+    None — stride skips live below the core scale). The half engine's
+    folded tail (inference/fused.fold_half_tail) consumes this to express
+    up1 + score_enc1 + out + score_input as fewer convolutions per
+    refinement step; ``out(pre ...)`` remains recoverable exactly by
+    linearity.
 
     Factored out of ``dae_apply`` so the refinement engines can run exactly
     this mid-res core between tail steps. ``x`` must already be at compute
@@ -335,10 +347,14 @@ def dae_core(
             sk = conv2d(skips[i], p["w"], p["b"], padding="SAME")
             s = crop_to(s, sk.shape[1], sk.shape[2])
             s = s + sk
+            if predense and i == 0:
+                return s, None
             s = conv_transpose2d(s, params[f"up{i + 1}"]["w"], stride=2)
         s = crop_to(s, min(s.shape[1], in_hw[0]), min(s.shape[2], in_hw[1]))
     else:
         for i in reversed(range(depth)):
+            if predense and i == 0:
+                return s, skips[0]
             skip = skips[i]
             s = conv_transpose2d(s, params[f"up{i + 1}"]["w"], stride=2)
             p = params[f"score_enc{i + 1}"]
