@@ -26,10 +26,14 @@ import os
 import sys
 import time
 
-# Ratchet: round 1 measured 0.512x; round 2's half engine + bf16 carry +
-# folded conditioning + bf16 y0 softmax measures 0.716x (batch 128; 192/256
-# measured worse). Raise whenever a round's bench beats it with margin.
-PERF_FLOOR = 0.68
+# Ratchet: round 1 measured 0.512x; round 2 landed 0.716x; round 3's folded
+# per-step tail lands 0.7214x. Floor 0.70 leaves ~3% headroom below the
+# measured value — run-to-run variance of this harness is ±0.3% (five
+# same-code runs across r2/r3: 715.57-715.98), so the margin is ~10x the
+# observed noise while still catching any real regression of the r3 wins
+# (ADVICE r2: document the margin). Raise whenever a round's bench beats
+# the floor with ≥3% to spare.
+PERF_FLOOR = 0.70
 
 
 def main() -> int:

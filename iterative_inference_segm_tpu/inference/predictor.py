@@ -92,28 +92,43 @@ class Predictor:
             if refine and engine == "half":
                 from iterative_inference_segm_tpu.inference.fused import (
                     halfres_refinement_scan,
+                    halfres_refinement_scan_folded,
                 )
                 from iterative_inference_segm_tpu.models.dae import (
                     dae_core,
+                    dae_tail_of,
                     precompute_bottleneck_h,
                 )
 
                 depth = dae_kwargs.get("depth", 4)
+                enc = dae_kwargs.get("encoder", "pool")
                 # fold loop-invariant bottleneck conditioning into a bias —
                 # same optimization the bench pipeline and make_half_refiner use
                 bh = precompute_bottleneck_h(
                     dae_params, h, depth=depth, stem_pool=1,
                     in_hw=(x.shape[1] // 2, x.shape[2] // 2),
                 )
-                core_fn = lambda xx: dae_core(
-                    dae_params, xx.astype(compute_dtype), bh[2],
-                    depth=depth, stem_pool=1, bottleneck_h=bh,
-                    encoder=dae_kwargs.get("encoder", "pool"),
-                )
-                y = halfres_refinement_scan(
-                    dae_params, core_fn, y0, eps=eps, num_steps=num_steps,
-                    state_dtype=compute_dtype, mode=mode,
-                )
+                if mode == "score" and dae_tail_of(dae_params) == "full":
+                    # folded per-step tail — serving runs the same numerics
+                    # as the benched flagship (make_half_refiner's default)
+                    predense_fn = lambda xx: dae_core(
+                        dae_params, xx.astype(compute_dtype), bh[2],
+                        depth=depth, stem_pool=1, bottleneck_h=bh,
+                        encoder=enc, predense=True,
+                    )
+                    y = halfres_refinement_scan_folded(
+                        dae_params, predense_fn, y0, eps=eps, num_steps=num_steps,
+                        state_dtype=compute_dtype, encoder=enc,
+                    )
+                else:
+                    core_fn = lambda xx: dae_core(
+                        dae_params, xx.astype(compute_dtype), bh[2],
+                        depth=depth, stem_pool=1, bottleneck_h=bh, encoder=enc,
+                    )
+                    y = halfres_refinement_scan(
+                        dae_params, core_fn, y0, eps=eps, num_steps=num_steps,
+                        state_dtype=compute_dtype, mode=mode,
+                    )
             elif refine:
                 dae_fn = lambda yy: dae_apply(
                     dae_params, yy, h, compute_dtype=compute_dtype, **dae_kwargs

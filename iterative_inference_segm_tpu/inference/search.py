@@ -114,14 +114,24 @@ def grid_search_eps_k_half(
     call per k — the rectification shares the step's core output), and eps
     is traced so the whole grid is one compiled program. ``mode`` selects
     the update rule ('score' / 'energy') — the step math is the engine's own
-    ``half_step_gradient`` / ``full_rect_gradient``, so selection runs the
-    numerics that will be deployed.
+    helpers, so selection runs the numerics that will be deployed: score
+    mode with the 'full' tail uses the FOLDED step tail exactly like
+    ``make_half_refiner``'s default (fused.fold_half_tail); energy and the
+    'sep' tail use the unfolded gradients.
     """
     from iterative_inference_segm_tpu.inference.fused import (
+        fold_half_tail,
+        folded_core_out,
+        folded_step_logits,
+        full_logits,
         full_rect_gradient,
         half_step_gradient,
     )
-    from iterative_inference_segm_tpu.models.dae import dae_core, dae_stem_pool_of
+    from iterative_inference_segm_tpu.models.dae import (
+        dae_core,
+        dae_stem_pool_of,
+        dae_tail_of,
+    )
     from iterative_inference_segm_tpu.ops.conv import avg_pool
 
     batches = list(batches)
@@ -133,6 +143,7 @@ def grid_search_eps_k_half(
     for x, _ in batches:
         if x.shape[1] % 2 or x.shape[2] % 2:
             raise ValueError(f"half engine requires even H, W; got batch {x.shape}")
+    fold = mode == "score" and dae_tail_of(dae_params) == "full"
 
     @jax.jit
     def scan_cms(fcn_params, dae_params, eps: jax.Array, x_img: jax.Array, labels: jax.Array) -> jax.Array:
@@ -157,15 +168,38 @@ def grid_search_eps_k_half(
 
         eps_c = eps.astype(compute_dtype)
 
-        def step(xc, _):
-            s = core_fn(xc).astype(compute_dtype)
-            y_k = y0 - eps_c * full_rect_gradient(dae_params, s, y0, mode=mode)
-            cm = confusion_matrix(jnp.argmax(y_k, -1), labels, n_classes=n_classes)
-            xc = xc - eps_c * half_step_gradient(
-                dae_params, core_fn, xc, mode=mode, state_dtype=compute_dtype,
-                s=s if mode == "score" else None,
+        if fold:
+            fk = fold_half_tail(dae_params, encoder=encoder)
+            predense_fn = lambda xx: dae_core(
+                dae_params, xx.astype(compute_dtype), bh[2],
+                depth=depth, stem_pool=1, bottleneck_h=bh, encoder=encoder,
+                predense=True,
             )
-            return xc, cm
+
+            def step(xc, _):
+                pre, sk1 = predense_fn(xc)
+                s = folded_core_out(
+                    fk, pre, sk1, encoder=encoder,
+                    out_hw=(int(xc.shape[1]), int(xc.shape[2])),
+                ).astype(compute_dtype)
+                r_full = jax.nn.softmax(full_logits(dae_params, s, y0), -1)
+                y_k = y0 - eps_c * (y0 - r_full)
+                cm = confusion_matrix(jnp.argmax(y_k, -1), labels, n_classes=n_classes)
+                logits = folded_step_logits(fk, pre, sk1, xc, encoder=encoder)
+                r = jax.nn.softmax(logits.astype(compute_dtype), -1)
+                xc = xc - eps_c * (xc - r)
+                return xc, cm
+        else:
+
+            def step(xc, _):
+                s = core_fn(xc).astype(compute_dtype)
+                y_k = y0 - eps_c * full_rect_gradient(dae_params, s, y0, mode=mode)
+                cm = confusion_matrix(jnp.argmax(y_k, -1), labels, n_classes=n_classes)
+                xc = xc - eps_c * half_step_gradient(
+                    dae_params, core_fn, xc, mode=mode, state_dtype=compute_dtype,
+                    s=s if mode == "score" else None,
+                )
+                return xc, cm
 
         _, cms = jax.lax.scan(step, x0, None, length=k_max + 1)
         return cms  # (k_max+1, C, C): row k = engine with num_steps=k
