@@ -111,8 +111,9 @@ def main() -> int:
     )
     if args.engine == "fused" and (args.dae_tail != "sep" or args.dae_stem_pool != 1):
         raise SystemExit("--engine fused requires --dae-tail sep --dae-stem-pool 1")
-    if args.engine == "half" and args.dae_stem_pool != 1:
-        raise SystemExit("--engine half requires --dae-stem-pool 1")
+    if args.engine == "half" and args.dae_stem_pool < 1:
+        raise SystemExit("--engine half requires --dae-stem-pool >= 1 "
+                         "(1 = half engine, 2 = quarter engine)")
     state_dtype = {
         "bf16": jnp.bfloat16, "f32": jnp.float32, "compute": compute_dtype
     }[args.state_dtype]
@@ -142,14 +143,15 @@ def main() -> int:
                 fcn_params, x, return_features=("pool4",), compute_dtype=compute_dtype,
                 probs_dtype=state_dtype,
             )
+            sp = args.dae_stem_pool
             bh = precompute_bottleneck_h(
-                dae_params, h, depth=args.dae_depth, stem_pool=1,
-                in_hw=(x.shape[1] // 2, x.shape[2] // 2),
+                dae_params, h, depth=args.dae_depth, stem_pool=sp,
+                in_hw=(x.shape[1] >> sp, x.shape[2] >> sp),
             )
             if fold:
                 predense_fn = lambda yp: dae_core(
                     dae_params, yp.astype(compute_dtype), bh[2],
-                    depth=args.dae_depth, stem_pool=1, bottleneck_h=bh,
+                    depth=args.dae_depth, stem_pool=sp, bottleneck_h=bh,
                     encoder=args.dae_encoder, predense=True,
                 )
                 y_k = halfres_refinement_scan_folded(
@@ -159,7 +161,7 @@ def main() -> int:
             else:
                 core_fn = lambda yp: dae_core(
                     dae_params, yp.astype(compute_dtype), bh[2],
-                    depth=args.dae_depth, stem_pool=1, bottleneck_h=bh,
+                    depth=args.dae_depth, stem_pool=sp, bottleneck_h=bh,
                     encoder=args.dae_encoder,
                 )
                 y_k = scan_impl(

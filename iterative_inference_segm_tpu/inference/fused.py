@@ -188,15 +188,19 @@ def half_logits(params: dict, x: jax.Array, s: jax.Array) -> jax.Array:
 
 
 def full_logits(params: dict, s_k: jax.Array, y: jax.Array) -> jax.Array:
-    """Full-resolution rectification logits from a (refined) half-res score
-    map: exactly the DAE's stem-tail applied once (up + score_input on y)."""
+    """Full-resolution rectification logits from a (refined) pooled-scale
+    score map: exactly the DAE's stem-tail applied once — the ``up_stem``
+    deconv chain back to /1 (one deconv per stem level, like ``dae_apply``)
+    + score_input on y."""
     from iterative_inference_segm_tpu.ops.conv import conv2d, conv_transpose2d, crop_to
 
     if dae_tail_of(params) == "sep":
         from iterative_inference_segm_tpu.models.dae import dae_septail_logits
 
         return dae_septail_logits(params, s_k, y)
-    u = conv_transpose2d(s_k, params["up_stem1"]["w"], stride=2)
+    u = s_k
+    for j in range(dae_stem_pool_of(params)):
+        u = conv_transpose2d(u, params[f"up_stem{j + 1}"]["w"], stride=2)
     u = crop_to(u, y.shape[1], y.shape[2])
     p = params["score_input"]
     return u + conv2d(y.astype(u.dtype), p["w"], p["b"], padding="SAME")
@@ -226,8 +230,8 @@ def fold_half_tail(params: dict, *, encoder: str = "pool") -> dict:
     activation dtype at use — one rounding instead of two). Requires
     tail='full', stem_pool=1.
     """
-    if dae_tail_of(params) != "full" or dae_stem_pool_of(params) != 1:
-        raise ValueError("fold_half_tail requires a stem_pool=1, tail='full' DAE")
+    if dae_tail_of(params) != "full" or dae_stem_pool_of(params) < 1:
+        raise ValueError("fold_half_tail requires a stem_pool>=1, tail='full' DAE")
     f32 = jnp.float32
     w_out = params["out"]["w"][0, 0].astype(f32)  # (C, C)
     b_out = params["out"]["b"].astype(f32)
@@ -387,9 +391,16 @@ def halfres_refinement_scan(
     state_dtype per step) or 'energy' (grad-through-the-denoiser at the
     pooled scale + tail-Jacobian rectification; see ``half_step_gradient`` /
     ``full_rect_gradient``). Both rules run inside the same single scan.
+
+    stem_pool=2 DAEs iterate at QUARTER resolution (the "quarter engine":
+    every per-step pass costs 1/16 of full res) with the same one-full-res
+    rectification — each extra stem level trades step cost against
+    iteration fidelity; accuracy per config is validated by the demo
+    protocol like every engine (ARCHITECTURE.md).
     """
-    if dae_stem_pool_of(params) != 1:
-        raise ValueError("half engine requires a stem_pool=1 DAE")
+    sp = dae_stem_pool_of(params)
+    if sp < 1:
+        raise ValueError("half engine requires a stem_pool>=1 DAE")
     if mode not in ("score", "energy"):
         raise ValueError(f"unknown mode {mode!r}; expected 'score' or 'energy'")
     if state_dtype is None:
@@ -397,12 +408,14 @@ def halfres_refinement_scan(
     eps_s = jnp.asarray(eps, state_dtype)
 
     b, h, w, c = y0.shape
-    if h % 2 or w % 2:
-        raise ValueError("half engine requires even H, W")
+    if h % (1 << sp) or w % (1 << sp):
+        raise ValueError(f"half engine requires H, W divisible by {1 << sp}")
 
     from iterative_inference_segm_tpu.ops.conv import avg_pool
 
-    x0 = avg_pool(y0.astype(state_dtype), window=2, stride=2)
+    x0 = y0.astype(state_dtype)
+    for _ in range(sp):
+        x0 = avg_pool(x0, window=2, stride=2)
 
     def step(x, _):
         # score mode: softmax at state_dtype — jax.nn.softmax subtracts the
@@ -442,22 +455,26 @@ def halfres_refinement_scan_folded(
     and measured faster in the K-step scan. ``predense_fn(x) -> (pre, skip1)``
     is ``dae_core(..., predense=True)`` closed over params/conditioning.
     The final rectification recovers the standard core output and runs the
-    byte-identical ``full_logits`` path.
+    byte-identical ``full_logits`` path. stem_pool=2 DAEs iterate at
+    quarter resolution (see ``halfres_refinement_scan``).
     """
-    if dae_stem_pool_of(params) != 1:
-        raise ValueError("half engine requires a stem_pool=1 DAE")
+    sp = dae_stem_pool_of(params)
+    if sp < 1:
+        raise ValueError("half engine requires a stem_pool>=1 DAE")
     if state_dtype is None:
         state_dtype = y0.dtype
     fk = fold_half_tail(params, encoder=encoder)
     eps_s = jnp.asarray(eps, state_dtype)
 
     b, h, w, c = y0.shape
-    if h % 2 or w % 2:
-        raise ValueError("half engine requires even H, W")
+    if h % (1 << sp) or w % (1 << sp):
+        raise ValueError(f"half engine requires H, W divisible by {1 << sp}")
 
     from iterative_inference_segm_tpu.ops.conv import avg_pool
 
-    x0 = avg_pool(y0.astype(state_dtype), window=2, stride=2)
+    x0 = y0.astype(state_dtype)
+    for _ in range(sp):
+        x0 = avg_pool(x0, window=2, stride=2)
 
     def step(x, _):
         pre, sk1 = predense_fn(x)
@@ -507,6 +524,8 @@ def make_half_refiner(
 
     # params as jit ARGUMENTS — closures over weights exceed the device
     # relay's compile-request limit for real-size models (CLAUDE.md)
+    sp = dae_stem_pool_of(dae_params)
+
     @jax.jit
     def _refine(fcn_params, dae_params, x):
         from iterative_inference_segm_tpu.models.dae import precompute_bottleneck_h
@@ -518,8 +537,8 @@ def make_half_refiner(
             probs_dtype=state_dtype or compute_dtype,
         )
         bh = precompute_bottleneck_h(
-            dae_params, h, depth=depth, stem_pool=1,
-            in_hw=(x.shape[1] // 2, x.shape[2] // 2),
+            dae_params, h, depth=depth, stem_pool=sp,
+            in_hw=(x.shape[1] >> sp, x.shape[2] >> sp),
         )
 
         if fold_tail:
@@ -527,7 +546,7 @@ def make_half_refiner(
             def predense_fn(x_half):
                 return dae_core(
                     dae_params, x_half.astype(compute_dtype), bh[2],
-                    depth=depth, stem_pool=1, bottleneck_h=bh, encoder=encoder,
+                    depth=depth, stem_pool=sp, bottleneck_h=bh, encoder=encoder,
                     predense=True,
                 )
 
@@ -540,7 +559,7 @@ def make_half_refiner(
         def core_fn(x_half):
             return dae_core(
                 dae_params, x_half.astype(compute_dtype), bh[2],
-                depth=depth, stem_pool=1, bottleneck_h=bh, encoder=encoder,
+                depth=depth, stem_pool=sp, bottleneck_h=bh, encoder=encoder,
             )
 
         y_k = halfres_refinement_scan(

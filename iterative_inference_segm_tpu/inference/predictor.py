@@ -96,24 +96,26 @@ class Predictor:
                 )
                 from iterative_inference_segm_tpu.models.dae import (
                     dae_core,
+                    dae_stem_pool_of,
                     dae_tail_of,
                     precompute_bottleneck_h,
                 )
 
                 depth = dae_kwargs.get("depth", 4)
                 enc = dae_kwargs.get("encoder", "pool")
+                sp = dae_stem_pool_of(dae_params)
                 # fold loop-invariant bottleneck conditioning into a bias —
                 # same optimization the bench pipeline and make_half_refiner use
                 bh = precompute_bottleneck_h(
-                    dae_params, h, depth=depth, stem_pool=1,
-                    in_hw=(x.shape[1] // 2, x.shape[2] // 2),
+                    dae_params, h, depth=depth, stem_pool=sp,
+                    in_hw=(x.shape[1] >> sp, x.shape[2] >> sp),
                 )
                 if mode == "score" and dae_tail_of(dae_params) == "full":
                     # folded per-step tail — serving runs the same numerics
                     # as the benched flagship (make_half_refiner's default)
                     predense_fn = lambda xx: dae_core(
                         dae_params, xx.astype(compute_dtype), bh[2],
-                        depth=depth, stem_pool=1, bottleneck_h=bh,
+                        depth=depth, stem_pool=sp, bottleneck_h=bh,
                         encoder=enc, predense=True,
                     )
                     y = halfres_refinement_scan_folded(
@@ -123,7 +125,7 @@ class Predictor:
                 else:
                     core_fn = lambda xx: dae_core(
                         dae_params, xx.astype(compute_dtype), bh[2],
-                        depth=depth, stem_pool=1, bottleneck_h=bh, encoder=enc,
+                        depth=depth, stem_pool=sp, bottleneck_h=bh, encoder=enc,
                     )
                     y = halfres_refinement_scan(
                         dae_params, core_fn, y0, eps=eps, num_steps=num_steps,

@@ -138,11 +138,14 @@ def grid_search_eps_k_half(
     # Fail the same preconditions the engine itself enforces BEFORE scoring:
     # otherwise an odd-height val set silently pools one row short here and
     # the eval refiner then rejects the searched config.
-    if dae_stem_pool_of(dae_params) != 1:
-        raise ValueError("half-engine search requires a stem_pool=1 DAE")
+    sp = dae_stem_pool_of(dae_params)
+    if sp < 1:
+        raise ValueError("half-engine search requires a stem_pool>=1 DAE")
     for x, _ in batches:
-        if x.shape[1] % 2 or x.shape[2] % 2:
-            raise ValueError(f"half engine requires even H, W; got batch {x.shape}")
+        if x.shape[1] % (1 << sp) or x.shape[2] % (1 << sp):
+            raise ValueError(
+                f"half engine requires H, W divisible by {1 << sp}; got batch {x.shape}"
+            )
     fold = mode == "score" and dae_tail_of(dae_params) == "full"
 
     @jax.jit
@@ -157,14 +160,16 @@ def grid_search_eps_k_half(
         from iterative_inference_segm_tpu.models.dae import precompute_bottleneck_h
 
         bh = precompute_bottleneck_h(
-            dae_params, h, depth=depth, stem_pool=1,
-            in_hw=(x_img.shape[1] // 2, x_img.shape[2] // 2),
+            dae_params, h, depth=depth, stem_pool=sp,
+            in_hw=(x_img.shape[1] >> sp, x_img.shape[2] >> sp),
         )
         core_fn = lambda xx: dae_core(
             dae_params, xx.astype(compute_dtype), bh[2],
-            depth=depth, stem_pool=1, bottleneck_h=bh, encoder=encoder,
+            depth=depth, stem_pool=sp, bottleneck_h=bh, encoder=encoder,
         )
-        x0 = avg_pool(y0, window=2, stride=2)
+        x0 = y0
+        for _ in range(sp):
+            x0 = avg_pool(x0, window=2, stride=2)
 
         eps_c = eps.astype(compute_dtype)
 
@@ -172,7 +177,7 @@ def grid_search_eps_k_half(
             fk = fold_half_tail(dae_params, encoder=encoder)
             predense_fn = lambda xx: dae_core(
                 dae_params, xx.astype(compute_dtype), bh[2],
-                depth=depth, stem_pool=1, bottleneck_h=bh, encoder=encoder,
+                depth=depth, stem_pool=sp, bottleneck_h=bh, encoder=encoder,
                 predense=True,
             )
 

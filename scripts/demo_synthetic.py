@@ -76,8 +76,9 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     # fail invalid combinations BEFORE the (potentially long) training runs
-    if args.engine == "half" and args.dae_stem_pool != 1:
-        raise SystemExit("--engine half requires --dae-stem-pool 1")
+    if args.engine == "half" and args.dae_stem_pool < 1:
+        raise SystemExit("--engine half requires --dae-stem-pool >= 1 "
+                         "(2 = quarter engine)")
     if args.arch in ("contextmod", "mirror") and args.engine != "general":
         raise SystemExit(f"--arch {args.arch} runs on the general engine only")
 

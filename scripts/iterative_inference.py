@@ -212,8 +212,9 @@ def main(argv=None) -> int:
         val_batches = norm_batches(va_i, va_l)
         test_batches = norm_batches(te_i, te_l)
 
-    if args.engine == "half" and (args.dae_stem_pool != 1 or args.arch != "dae"):
-        raise SystemExit("--engine half requires --dae-stem-pool 1, --arch dae")
+    if args.engine == "half" and (args.dae_stem_pool < 1 or args.arch != "dae"):
+        raise SystemExit("--engine half requires --dae-stem-pool >= 1 "
+                         "(2 = quarter engine), --arch dae")
     if args.engine == "half" and args.dump_trajectory:
         raise SystemExit(
             "--dump-trajectory is a general-engine artifact (full-res y_k "

@@ -259,3 +259,88 @@ def test_half_rejects_unknown_mode():
     with pytest.raises(ValueError, match="mode"):
         halfres_refinement_scan(dae, lambda t: t, y0, eps=0.1, num_steps=1,
                                 mode="bogus")
+
+
+# --- quarter engine (stem_pool=2): the same pooled-iteration engine one
+# scale deeper — every per-step pass costs 1/16 of full res ---
+
+
+def _dae_q():
+    return init_dae(
+        jax.random.PRNGKey(1), n_classes=C, h_specs={"pool4": 512}, depth=2,
+        stem_pool=2, widths=(8, 16),
+    )
+
+
+def test_quarter_engine_k0_is_one_rectification():
+    """stem_pool=2: x0 = avg_pool^2(y0); rectification chains up_stem1+up_stem2."""
+    from iterative_inference_segm_tpu.models.dae import dae_stem_pool_of
+
+    fcn = init_fcn8(jax.random.PRNGKey(0), n_classes=C, fc_channels=16)
+    dae = _dae_q()
+    assert dae_stem_pool_of(dae) == 2
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 48, 64, 3))
+    y0, h = fcn8_apply(fcn, x, return_features=("pool4",))
+    core_fn = lambda xx: dae_core(dae, xx, h, depth=2, stem_pool=2)
+    got = halfres_refinement_scan(dae, core_fn, y0, eps=0.25, num_steps=0)
+
+    x0 = avg_pool(avg_pool(y0, window=2, stride=2), window=2, stride=2)
+    s0 = core_fn(x0)
+    r = jax.nn.softmax(full_logits(dae, s0, y0), -1)
+    want = y0 - 0.25 * (y0 - r)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_quarter_folded_matches_unfolded_and_refiner_runs():
+    dae = _dae_q()
+    # non-trivial out/deconvs (they init as identity/bilinear)
+    dae["out"] = {
+        "w": 0.5 * jax.random.normal(jax.random.PRNGKey(9), dae["out"]["w"].shape),
+        "b": 0.1 * jax.random.normal(jax.random.PRNGKey(10), dae["out"]["b"].shape),
+    }
+    h = {"pool4": jax.random.normal(jax.random.PRNGKey(7), (2, 3, 4, 512))}
+    y0 = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(3), (2, 48, 64, C)), -1)
+    from iterative_inference_segm_tpu.inference.fused import (
+        halfres_refinement_scan_folded,
+    )
+
+    core_fn = lambda xx: dae_core(dae, xx, h, depth=2, stem_pool=2)
+    predense_fn = lambda xx: dae_core(dae, xx, h, depth=2, stem_pool=2, predense=True)
+    want = halfres_refinement_scan(dae, core_fn, y0, eps=0.3, num_steps=2)
+    got = halfres_refinement_scan_folded(dae, predense_fn, y0, eps=0.3, num_steps=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-4)
+
+    fcn = init_fcn8(jax.random.PRNGKey(0), n_classes=C, fc_channels=16)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 48, 64, 3))
+    refine = make_half_refiner(fcn8_apply, fcn, dae, eps=0.3, num_steps=2,
+                               h_taps=("pool4",), depth=2)
+    r0, rk = refine(x)
+    assert rk.shape == r0.shape
+    assert float(jnp.abs(rk - r0).max()) > 1e-6
+
+
+def test_quarter_search_rows_match_engine():
+    from iterative_inference_segm_tpu.ops.metrics import confusion_matrix, metrics_from_confusion
+
+    fcn = init_fcn8(jax.random.PRNGKey(0), n_classes=C, fc_channels=16)
+    dae = _dae_q()
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 48, 64, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(5), (2, 48, 64), 0, C)
+    res = grid_search_eps_k_half(
+        fcn8_apply, fcn, dae, [(np.asarray(x), np.asarray(labels))],
+        n_classes=C, eps_grid=[0.3], k_max=1, h_taps=("pool4",), depth=2,
+    )
+    for k in range(2):
+        refine = make_half_refiner(fcn8_apply, fcn, dae, eps=0.3, num_steps=k,
+                                   h_taps=("pool4",), depth=2)
+        _, yk = refine(x)
+        cm = confusion_matrix(jnp.argmax(yk, -1), labels, n_classes=C)
+        miou = float(metrics_from_confusion(cm).mean_iou)
+        np.testing.assert_allclose(res["miou"][0, k], miou, atol=1e-6)
+
+
+def test_quarter_divisibility_error():
+    dae = _dae_q()
+    y0 = jnp.zeros((1, 46, 64, C))  # 46 % 4 != 0
+    with pytest.raises(ValueError, match="divisible by 4"):
+        halfres_refinement_scan(dae, lambda t: t, y0, eps=0.1, num_steps=1)

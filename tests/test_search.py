@@ -97,7 +97,7 @@ def test_grid_search_half_rejects_odd_and_wrong_stem():
     rng = np.random.default_rng(2)
     odd = [(rng.normal(size=(1, 47, 64, 3)).astype(np.float32),
             rng.integers(0, C, size=(1, 47, 64)).astype(np.int32))]
-    with pytest.raises(ValueError, match="even"):
+    with pytest.raises(ValueError, match="divisible"):
         grid_search_eps_k_half(fcn8_apply, fcn, dae1, odd, n_classes=C,
                                eps_grid=[0.1], k_max=1, depth=3)
     dae0 = init_dae(jax.random.PRNGKey(1), n_classes=C, h_specs={"pool4": 512})
