@@ -178,16 +178,9 @@ def main():
         r = jax.nn.softmax(logits, -1)
         return x - jnp.asarray(0.1, x.dtype) * (x - r)
 
-    # ---- correctness in f32 ----
+    # ---- correctness in f32 (encoder casts the bf16 hb bias internally) ----
     xf = x.astype(jnp.float32)
-    hbf = hb.astype(jnp.float32)
-
-    def with_f32_hb(fn, *a):
-        global_hb = hbf
-        return fn(*a)
-
     fk32 = folded_kernels(dae, True)
-    # rebind hb for f32 check: encoder closes over hb (bf16) — cast inside
     v0 = step_v0(dae, xf)
     v1 = step_v1(dae, fk32, xf)
     v2 = step_v2(dae, fk32, xf)
