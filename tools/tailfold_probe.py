@@ -102,9 +102,8 @@ def main():
         return h, skips
 
     def decode_to_predense(p, h, skips):
-        """Decoder up to (but not including) the last fusion: returns u at
-        full pooled res (the up1 input already upsampled... no — returns the
-        /2-scale map BEFORE up1) and skips."""
+        """Decoder up to (but not including) the up1 stage: returns the
+        /2-of-pooled-scale map that feeds up1."""
         q = p["score_bottleneck"]
         s = conv2d(h, q["w"], q["b"], padding="SAME")
         for i in (2, 1):
@@ -198,8 +197,6 @@ def main():
 
     # ---- K=5 scan timings (deployment context) ----
     def scan5(step, xx):
-        def body(c, _):
-            return step(c), None
         y, _ = lax.scan(lambda c, _: (step(c), None), xx, None, length=5)
         return jnp.sum(y.astype(jnp.float32))
 
