@@ -220,10 +220,24 @@ def main() -> int:
     best = min(timed_block() for _ in range(3))
     imgs_per_sec = args.batch / best
     target = 1000.0
+    # non-default configuration markers, so BENCH_HISTORY.jsonl lines are
+    # self-describing (a fast-line entry must never be mistaken for the
+    # parity flagship — VERDICT r2 #9)
+    cfg_bits = ""
+    if args.fc_channels != 4096:
+        cfg_bits += f", fc={args.fc_channels}"
+    if args.dae_encoder != "pool":
+        cfg_bits += f", enc={args.dae_encoder}"
+    if args.dae_stem_pool != 1:
+        cfg_bits += f", sp={args.dae_stem_pool}"
+    if args.dae_depth != 3:
+        cfg_bits += f", depth={args.dae_depth}"
+    if args.no_fold_tail:
+        cfg_bits += ", nofold"
     result = {
         "metric": f"images/sec/chip (FCN-8 + {args.steps}-step DAE refine, "
         f"{args.height}x{args.width}, {args.dtype}, batch={args.batch}, "
-        f"engine={args.engine}, tail={args.dae_tail})",
+        f"engine={args.engine}, tail={args.dae_tail}{cfg_bits})",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / target, 4),
