@@ -45,6 +45,66 @@ def test_npz_missing_key_raises(tmp_path):
         load_npz(tmp_path / "p.npz", {"a": {"w": jnp.ones((2,)), "b": jnp.ones((1,))}})
 
 
+def test_npz_meta_roundtrip_and_validation(tmp_path):
+    """Architecture metadata (ADVICE r2): stored under __meta__/, invisible
+    to weight loading, validated by check_npz_meta — mismatches raise,
+    absent metadata warns."""
+    from iterative_inference_segm_tpu.utils.checkpoint import (
+        check_npz_meta,
+        read_npz_meta,
+    )
+
+    params = {"a": {"w": jnp.ones((2, 2))}}
+    path = tmp_path / "p.npz"
+    save_npz(path, params, meta={
+        "arch": "dae", "encoder": "stride", "depth": 3, "tied": False,
+        "widths": (8, 16, 32), "h": ("pool4",),
+    })
+    meta = read_npz_meta(path)
+    assert meta["arch"] == "dae" and meta["encoder"] == "stride"
+    assert meta["depth"] == 3 and meta["tied"] is False
+    assert meta["widths"] == (8, 16, 32) and meta["h"] == ("pool4",)
+    # weights load unchanged (meta keys skipped)
+    _tree_equal(params, load_npz(path, params))
+
+    check_npz_meta(path, {"encoder": "stride", "widths": [8, 16, 32]})  # ok
+    with pytest.raises(ValueError, match="encoder"):
+        check_npz_meta(path, {"encoder": "pool"})
+    with pytest.warns(UserWarning, match="no metadata"):
+        check_npz_meta(path, {"nonexistent_knob": 1})
+
+    # a metadata-free export (old checkpoint): everything warns, nothing raises
+    save_npz(tmp_path / "old.npz", params)
+    assert read_npz_meta(tmp_path / "old.npz") == {}
+    with pytest.warns(UserWarning):
+        check_npz_meta(tmp_path / "old.npz", {"encoder": "pool"})
+
+
+def test_predictor_rejects_wrong_encoder_flag(tmp_path):
+    """The shape-invisible encoder knob must fail LOUDLY at serving time
+    when it contradicts the checkpoint's stamped metadata (ADVICE r2 —
+    the silent-degradation footgun)."""
+    from iterative_inference_segm_tpu.inference import Predictor
+    from iterative_inference_segm_tpu.models import init_dae, init_fcn8 as _init_fcn8
+    from iterative_inference_segm_tpu.models.dae import DAE_H_CHANNELS
+
+    fcn = _init_fcn8(jax.random.PRNGKey(0), n_classes=11, fc_channels=8)
+    save_npz(tmp_path / "fcn.npz", jax.device_get(fcn), meta={"arch": "fcn8"})
+    dae = init_dae(jax.random.PRNGKey(1), n_classes=11,
+                   h_specs={"pool4": DAE_H_CHANNELS["pool4"]},
+                   depth=3, stem_pool=1, widths=(4, 8, 8))
+    save_npz(tmp_path / "dae.npz", jax.device_get(dae), meta={
+        "arch": "dae", "encoder": "stride", "depth": 3, "stem_pool": 1,
+        "tail": "full", "widths": (4, 8, 8),
+    })
+    with pytest.raises(ValueError, match="encoder"):
+        Predictor.from_npz(
+            str(tmp_path / "fcn.npz"), str(tmp_path / "dae.npz"),
+            fc_channels=8, dae_depth=3, dae_stem_pool=1,
+            dae_widths=(4, 8, 8), dae_encoder="pool",
+        )
+
+
 def test_orbax_roundtrip(tmp_path):
     params = init_fcn8(jax.random.PRNGKey(0), n_classes=3, fc_channels=8)
     save_checkpoint(tmp_path, 7, params)

@@ -45,3 +45,54 @@ def test_train_then_infer_nondefault_dae_arch(tmp_path, tail, widths):
         "--engine", "half",
     ])
     assert rc == 0
+
+
+def test_mirror_arch_train_then_infer_and_reference_npz(tmp_path):
+    """The mirror parity arch drives through both CLIs: train with
+    --arch mirror, refine with the trained npz, AND load a synthetic
+    reference-format positional checkpoint via --dae-mirror-npz."""
+    import numpy as np
+    import jax
+
+    train_dae = _load_script("train_dae.py")
+    iterative_inference = _load_script("iterative_inference.py")
+
+    workdir = tmp_path / "mirror"
+    rc = train_dae.main([
+        "--synthetic", "--tiny", "--max-epochs", "1",
+        "--batch-size", "4", "--num-train-batches", "2", "--num-val-batches", "1",
+        "--arch", "mirror", "--dae-depth", "3", "--dae-widths", "8", "16", "32",
+        "--concat-h", "pool3",
+        "--workdir", str(workdir),
+    ])
+    assert rc in (0, None)
+    dae_npz = workdir / "best_dae.npz"
+    assert dae_npz.exists()
+
+    rc = iterative_inference.main([
+        "--synthetic", "--tiny", "--num-steps", "2",
+        "--batch-size", "2", "--num-batches", "1",
+        "--arch", "mirror", "--dae-npz", str(dae_npz),
+        "--dae-depth", "3", "--dae-widths", "8", "16", "32",
+        "--concat-h", "pool3",
+    ])
+    assert rc == 0
+
+    # reference-format positional npz (tied variant) through --dae-mirror-npz
+    from iterative_inference_segm_tpu.models import init_mirror_dae
+    from tests.test_mirror_dae import _to_positional
+
+    src = init_mirror_dae(
+        jax.random.PRNGKey(3), n_classes=11,
+        h_specs={"pool3": 256}, depth=3, widths=(8, 16, 32), tied=True,
+    )
+    ref = tmp_path / "mirror_ref.npz"
+    np.savez(ref, *_to_positional(src, 3, True))
+    rc = iterative_inference.main([
+        "--synthetic", "--tiny", "--num-steps", "1",
+        "--batch-size", "2", "--num-batches", "1",
+        "--arch", "mirror", "--dae-tied", "--dae-mirror-npz", str(ref),
+        "--dae-depth", "3", "--dae-widths", "8", "16", "32",
+        "--concat-h", "pool3",
+    ])
+    assert rc == 0
