@@ -379,8 +379,12 @@ def train_dae(
             best_npz = Path(workdir) / "best_dae.npz"
             best_params = load_npz(best_npz, dae_params) if best_npz.exists() else dae_params
 
+    import time as _time
+
     for epoch in range(start_epoch, tcfg.max_epochs):
+        t_epoch = _time.perf_counter()
         losses = []
+        n_images = 0
         for images, labels in batches(train_data):
             key, step_key = jax.random.split(key)
             xb, yb = put_batch(images, labels)
@@ -388,7 +392,10 @@ def train_dae(
                 dae_params, opt_state, fcn_params, xb, yb, step_key
             )
             losses.append(loss)
+            n_images += int(jnp.shape(images)[0])
+        # sync (host fetch) before timing — see train_fcn8
         train_loss = float(jnp.mean(jnp.stack(losses)))
+        epoch_seconds = _time.perf_counter() - t_epoch
 
         cm_total = None
         val_losses = []
@@ -403,7 +410,9 @@ def train_dae(
         val_miou = float(m.mean_iou)
         val_loss = float(jnp.mean(jnp.stack(val_losses)))
         history.append(
-            {"epoch": epoch, "train_loss": train_loss, "val_loss": val_loss, "val_miou": val_miou}
+            {"epoch": epoch, "train_loss": train_loss, "val_loss": val_loss,
+             "val_miou": val_miou, "epoch_seconds": round(epoch_seconds, 3),
+             "train_images_per_sec": round(n_images / max(epoch_seconds, 1e-9), 2)}
         )
         if logger:
             logger.log(epoch, **history[-1])

@@ -228,14 +228,22 @@ def train_fcn8(
             best_npz = Path(workdir) / "best_fcn8.npz"
             best_params = load_npz(best_npz, params) if best_npz.exists() else params
 
+    import time as _time
+
     for epoch in range(start_epoch, tcfg.max_epochs):
+        t_epoch = _time.perf_counter()
         losses = []
+        n_images = 0
         for images, labels in batches(train_data):
             key, step_key = jax.random.split(key)
             xb, yb = put_batch(images, labels)
             params, opt_state, loss = train_step(params, opt_state, xb, yb, step_key)
             losses.append(loss)
+            n_images += int(jnp.shape(images)[0])
+        # sync before timing: dispatches are async (and the relay's
+        # block_until_ready is a no-op — time through a host fetch)
         train_loss = float(jnp.mean(jnp.stack(losses)))
+        epoch_seconds = _time.perf_counter() - t_epoch
 
         cm_total = None
         val_losses = []
@@ -249,7 +257,10 @@ def train_fcn8(
         val_acc = float(m.pixel_accuracy)
         val_loss = float(jnp.mean(jnp.stack(val_losses)))
         history.append(
-            {"epoch": epoch, "train_loss": train_loss, "val_loss": val_loss, "val_miou": val_miou, "val_acc": val_acc}
+            {"epoch": epoch, "train_loss": train_loss, "val_loss": val_loss,
+             "val_miou": val_miou, "val_acc": val_acc,
+             "epoch_seconds": round(epoch_seconds, 3),
+             "train_images_per_sec": round(n_images / max(epoch_seconds, 1e-9), 2)}
         )
         if logger:
             logger.log(epoch, **history[-1])
