@@ -42,6 +42,7 @@ class Predictor:
         h_taps: tuple[str, ...] = ("pool4",),
         mode: str = "score",
         engine: str = "general",
+        dae_arch: str = "dae",
         batch_size: int = 8,
         compute_dtype=jnp.bfloat16,
         normalize: bool = True,
@@ -49,6 +50,10 @@ class Predictor:
         dae_kwargs: Mapping | None = None,
         mesh=None,
     ):
+        """``dae_arch`` selects the score network the general engine serves:
+        'dae' (the TPU score-fusion flagship), 'mirror' (the reference-
+        parity variant, models/dae_mirror.py), or 'contextmod'. The half
+        engine is 'dae'-only (the pooled iteration needs the stem layout)."""
         self.cfg = dataset
         self.batch_size = batch_size
         self._mesh = mesh
@@ -73,6 +78,24 @@ class Predictor:
         refine = dae_params is not None and (num_steps > 0 or engine == "half")
         if engine not in ("general", "half"):
             raise ValueError(f"unknown engine {engine!r}; expected 'general' or 'half'")
+        if dae_arch not in ("dae", "mirror", "contextmod"):
+            raise ValueError(
+                f"unknown dae_arch {dae_arch!r}; expected 'dae', 'mirror' or 'contextmod'"
+            )
+        if engine == "half" and dae_arch != "dae":
+            raise ValueError("engine='half' serves dae_arch='dae' only")
+        if dae_arch == "mirror":
+            from iterative_inference_segm_tpu.models.dae_mirror import mirror_dae_apply
+
+            score_apply = lambda p, y, hh, **kw: mirror_dae_apply(p, y, hh, **kw)
+        elif dae_arch == "contextmod":
+            from iterative_inference_segm_tpu.models.contextmod import contextmod_apply
+
+            score_apply = lambda p, y, hh, **kw: contextmod_apply(
+                p, y, hh, compute_dtype=kw.get("compute_dtype", jnp.float32)
+            )
+        else:
+            score_apply = dae_apply
 
         def _predict(fcn_params, dae_params, x):
             if normalize:
@@ -132,7 +155,7 @@ class Predictor:
                         state_dtype=compute_dtype, mode=mode,
                     )
             elif refine:
-                dae_fn = lambda yy: dae_apply(
+                dae_fn = lambda yy: score_apply(
                     dae_params, yy, h, compute_dtype=compute_dtype, **dae_kwargs
                 )
                 y = refinement_scan(dae_fn, y0, eps=eps, num_steps=num_steps, mode=mode)
@@ -153,6 +176,8 @@ class Predictor:
         dae_tail: str = "full",
         dae_widths: tuple[int, ...] | None = None,
         dae_encoder: str = "pool",
+        dae_arch: str = "dae",
+        dae_tied: bool = False,
         h_taps: tuple[str, ...] = ("pool4",),
         **kwargs,
     ) -> "Predictor":
@@ -170,28 +195,56 @@ class Predictor:
             # Fail fast on shape-invisible architecture mismatches (notably
             # encoder='pool'|'stride' — ADVICE r2); shape-visible knobs would
             # fail in load_npz anyway, but this error names the flag.
-            check_npz_meta(
-                dae_npz,
-                {
+            if dae_arch == "mirror":
+                expect = {
+                    "arch": "mirror", "depth": dae_depth, "tied": dae_tied,
+                    **({"widths": tuple(dae_widths)} if dae_widths else {}),
+                }
+            elif dae_arch == "contextmod":
+                expect = {"arch": "contextmod"}
+            else:
+                expect = {
                     "arch": "dae",
                     "encoder": dae_encoder,
                     "depth": dae_depth,
                     "stem_pool": dae_stem_pool,
                     "tail": dae_tail,
                     **({"widths": tuple(dae_widths)} if dae_widths else {}),
-                },
-                context=f"Predictor.from_npz({dae_npz})",
-            )
-            dae_t = init_dae(
-                jax.random.PRNGKey(0), n_classes=dataset.n_classes,
-                h_specs={n: DAE_H_CHANNELS[n] for n in h_taps},
-                depth=dae_depth, stem_pool=dae_stem_pool, tail=dae_tail,
-                **({"widths": tuple(dae_widths)} if dae_widths else {}),
-            )
+                }
+            check_npz_meta(dae_npz, expect, context=f"Predictor.from_npz({dae_npz})")
+            if dae_arch == "mirror":
+                from iterative_inference_segm_tpu.models import init_mirror_dae
+
+                dae_t = init_mirror_dae(
+                    jax.random.PRNGKey(0), n_classes=dataset.n_classes,
+                    h_specs={n: DAE_H_CHANNELS[n] for n in h_taps},
+                    depth=dae_depth, tied=dae_tied,
+                    **({"widths": tuple(dae_widths)} if dae_widths else {}),
+                )
+            elif dae_arch == "contextmod":
+                from iterative_inference_segm_tpu.models import init_contextmod
+
+                h_ch = DAE_H_CHANNELS["input"] if "input" in h_taps else 0
+                dae_t = init_contextmod(
+                    jax.random.PRNGKey(0), n_classes=dataset.n_classes, h_channels=h_ch
+                )
+            else:
+                dae_t = init_dae(
+                    jax.random.PRNGKey(0), n_classes=dataset.n_classes,
+                    h_specs={n: DAE_H_CHANNELS[n] for n in h_taps},
+                    depth=dae_depth, stem_pool=dae_stem_pool, tail=dae_tail,
+                    **({"widths": tuple(dae_widths)} if dae_widths else {}),
+                )
             dae = load_npz(dae_npz, dae_t)
+        if dae_arch == "mirror":
+            score_kwargs = {"depth": dae_depth}
+        elif dae_arch == "contextmod":
+            score_kwargs = {}
+        else:
+            score_kwargs = {"depth": dae_depth, "encoder": dae_encoder}
         return cls(
-            fcn, dae, dataset=dataset, h_taps=h_taps,
-            dae_kwargs={"depth": dae_depth, "encoder": dae_encoder}, **kwargs,
+            fcn, dae, dataset=dataset, h_taps=h_taps, dae_arch=dae_arch,
+            dae_kwargs=score_kwargs, **kwargs,
         )
 
     def predict(self, images: np.ndarray, *, return_probs: bool = False):

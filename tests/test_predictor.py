@@ -137,3 +137,44 @@ def test_predictor_from_npz_nondefault_dae_arch(tmp_path, params):
     imgs = np.random.default_rng(6).random((2, 48, 64, 3)).astype(np.float32)
     labels = p.predict(imgs)
     assert labels.shape == (2, 48, 64)
+
+
+def test_predictor_serves_mirror_arch(tmp_path):
+    """The serving surface covers the reference-parity mirror DAE: direct
+    pytrees AND the from_npz path with stamped metadata."""
+    import jax
+    import numpy as np
+
+    from iterative_inference_segm_tpu.inference import Predictor
+    from iterative_inference_segm_tpu.models import init_fcn8, init_mirror_dae
+    from iterative_inference_segm_tpu.utils.checkpoint import save_npz
+
+    fcn = init_fcn8(jax.random.PRNGKey(0), n_classes=11, fc_channels=8)
+    dae = init_mirror_dae(
+        jax.random.PRNGKey(1), n_classes=11, h_specs={"pool3": 256},
+        depth=3, widths=(4, 8, 8), tied=True,
+    )
+    p = Predictor(fcn, dae, dae_arch="mirror", h_taps=("pool3",),
+                  dae_kwargs={"depth": 3}, eps=0.2, num_steps=2, batch_size=2)
+    imgs = np.random.default_rng(0).random((3, 48, 64, 3), np.float32)
+    labels = p.predict(imgs)
+    assert labels.shape == (3, 48, 64)
+    assert labels.dtype == np.int32
+
+    save_npz(tmp_path / "fcn.npz", jax.device_get(fcn), meta={"arch": "fcn8"})
+    save_npz(tmp_path / "dae.npz", jax.device_get(dae), meta={
+        "arch": "mirror", "depth": 3, "tied": True, "widths": (4, 8, 8),
+    })
+    p2 = Predictor.from_npz(
+        str(tmp_path / "fcn.npz"), str(tmp_path / "dae.npz"),
+        fc_channels=8, dae_arch="mirror", dae_depth=3, dae_tied=True,
+        dae_widths=(4, 8, 8), h_taps=("pool3",),
+        eps=0.2, num_steps=2, batch_size=2,
+    )
+    np.testing.assert_array_equal(p2.predict(imgs), labels)
+
+    # half engine refuses non-dae archs loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="dae_arch"):
+        Predictor(fcn, dae, dae_arch="mirror", engine="half")
