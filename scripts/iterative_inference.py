@@ -302,16 +302,27 @@ def main(argv=None) -> int:
         from iterative_inference_segm_tpu.parallel.sharding import batch_sharding
 
         x_sharding = batch_sharding(mesh, 4)
-        put_x = lambda im: jax.device_put(np.asarray(im, np.float32), x_sharding)
+
+        def put_x(im):
+            # pad a short LAST batch up to the compiled batch size (one
+            # jitted shape; disk splits are rarely divisible) — padded rows
+            # are sliced back off the predictions below
+            im = np.asarray(im, np.float32)
+            if im.shape[0] < args.batch_size:
+                pad = np.zeros((args.batch_size - im.shape[0], *im.shape[1:]), np.float32)
+                im = np.concatenate([im, pad])
+            return jax.device_put(im, x_sharding)
+
         print(f"eval batches sharded over {mesh.shape['data']} devices", flush=True)
     else:
         put_x = jnp.asarray
 
     cm0 = cmk = None
     for bi, (images, labels) in enumerate(test_batches):
+        got = np.asarray(labels).shape[0]
         y0, yk = refine(put_x(images))
-        p0 = jnp.argmax(y0, -1)
-        pk = jnp.argmax(yk, -1)
+        p0 = jnp.argmax(y0, -1)[:got]
+        pk = jnp.argmax(yk, -1)[:got]
         labels = jnp.asarray(labels)
         c0 = confusion_matrix(p0, labels, n_classes=cfg.n_classes)
         ck = confusion_matrix(pk, labels, n_classes=cfg.n_classes)

@@ -139,3 +139,25 @@ def test_dp_train_step_improves_loss():
     # update is replicated: every leaf is fully addressable and identical
     leaf = jax.tree.leaves(p)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_sharded_inference_pads_short_last_batch(tmp_path, capsys):
+    """Disk splits are rarely divisible by the batch: with --devices the
+    short LAST batch must be padded to the compiled batch and the padded
+    rows sliced back off the predictions."""
+    from tests.test_first_contact import _write_camvid_tree
+
+    data_root = tmp_path / "camvid"
+    _write_camvid_tree(data_root, n=5)  # 5 % 4 != 0
+
+    iterative_inference = _load_script("iterative_inference.py")
+    rc = iterative_inference.main([
+        "--dataset", "camvid", "--data-root", str(data_root),
+        "--tiny", "--num-steps", "1", "--batch-size", "4",
+        "--dae-widths", "8", "16", "32", "64",
+        "--devices", "4",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sharded over 4 devices" in out
+    assert "per-class IoU" in out
