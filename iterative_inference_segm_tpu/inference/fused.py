@@ -1,6 +1,16 @@
-"""Phase-major refinement engine: the fast path for the K-step scan.
+"""Pooled-scale refinement engines: the throughput paths for the K-step scan.
 
-Why this exists (measured on the attached v5e, batch 128, 360x480, bf16):
+This module holds the HALF/QUARTER engine family (``halfres_refinement_scan``
+and friends — K refinement steps on the class map POOLED to the DAE's stem
+scale, /2 or /4, plus ONE full-resolution rectification), the folded
+per-step tail that composes its linear ops into fewer convolutions
+(``fold_half_tail``), and the phase-major ``fused`` experiment this module
+was first built around (kept as a documented negative result; see its
+docstrings). The benched flagship and every >1000 img/s configuration run
+through the half/quarter scans here.
+
+Why the pooled engines exist (measured on the attached v5e, batch 128,
+360x480, bf16 — and below, the original phase-major motivation):
 one refinement step of the flagship stem1/d3 DAE costs ~0.195 ms/img, and
 ~2/3 of that is the handful of FULL-RESOLUTION class-map ops around the
 mid-res encoder/decoder (stem avg-pool, 4x4 deconv back to /1, 3x3
