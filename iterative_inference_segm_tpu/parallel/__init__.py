@@ -1,9 +1,11 @@
 """Parallelism: device meshes, shardings, data-parallel step transforms.
 
 The reference is single-process single-GPU (SURVEY.md §3.4); the rebuild's
-one first-class parallelism axis is data parallelism over a ``jax.sharding``
+first-class parallelism axis is data parallelism over a ``jax.sharding``
 mesh, with gradient reductions compiled by XLA onto ICI. Optional spatial
-(H/W) sharding is provided for the batched-refinement configs.
+(H/W) sharding is provided for the batched-refinement configs, and tensor
+parallelism for the fc6/fc7 classifier pair (``parallel.tp``, the 96%-of-
+params kernels) when the model must be split across chips.
 """
 
 from iterative_inference_segm_tpu.parallel.mesh import make_mesh, local_device_count
@@ -13,3 +15,4 @@ from iterative_inference_segm_tpu.parallel.sharding import (
     shard_batch,
     replicate,
 )
+from iterative_inference_segm_tpu.parallel.tp import tp_shardings, shard_params_tp
