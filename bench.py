@@ -232,8 +232,10 @@ def main() -> int:
         cfg_bits += f", sp={args.dae_stem_pool}"
     if args.dae_depth != 3:
         cfg_bits += f", depth={args.dae_depth}"
-    if args.no_fold_tail:
-        cfg_bits += ", nofold"
+    if args.no_fold_tail and args.engine == "half" and args.dae_tail == "full":
+        cfg_bits += ", nofold"  # only when the fold would otherwise be active
+    if args.state_dtype != "compute":
+        cfg_bits += f", carry={args.state_dtype}"
     result = {
         "metric": f"images/sec/chip (FCN-8 + {args.steps}-step DAE refine, "
         f"{args.height}x{args.width}, {args.dtype}, batch={args.batch}, "

@@ -238,7 +238,9 @@ def fold_half_tail(params: dict, *, encoder: str = "pool") -> dict:
 
     Kernels are composed in f32 and kept f32 (the conv wrappers cast to the
     activation dtype at use — one rounding instead of two). Requires
-    tail='full', stem_pool=1.
+    tail='full' and stem_pool>=1 (the whole pooled-engine family: half
+    AND quarter — tests/test_half_engine.py pins folded==unfolded at both
+    stem depths).
     """
     if dae_tail_of(params) != "full" or dae_stem_pool_of(params) < 1:
         raise ValueError("fold_half_tail requires a stem_pool>=1, tail='full' DAE")

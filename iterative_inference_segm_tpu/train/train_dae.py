@@ -310,12 +310,18 @@ def train_dae(
     )
 
     if mesh is not None:
-        from iterative_inference_segm_tpu.parallel.sharding import replicate, shard_batch
+        from iterative_inference_segm_tpu.parallel.sharding import (
+            padded_batch_putter,
+            replicate,
+        )
 
         dae_params = replicate(mesh, dae_params)
         opt_state = replicate(mesh, opt_state)
         fcn_params = replicate(mesh, fcn_params)
-        put_batch = lambda x, y: shard_batch(mesh, (jnp.asarray(x), jnp.asarray(y)))
+        # pads short last batches (zero images + void labels — exact, the
+        # DAE loss masks void and one-hot of void is all-zeros) so disk
+        # splits with a non-divisible tail neither crash nor recompile
+        put_batch = padded_batch_putter(mesh, void_label=dataset.void_label)
     else:
         put_batch = lambda x, y: (jnp.asarray(x), jnp.asarray(y))
 

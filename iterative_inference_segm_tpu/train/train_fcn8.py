@@ -188,11 +188,17 @@ def train_fcn8(
     )
 
     if mesh is not None:
-        from iterative_inference_segm_tpu.parallel.sharding import replicate, shard_batch
+        from iterative_inference_segm_tpu.parallel.sharding import (
+            padded_batch_putter,
+            replicate,
+        )
 
         params = replicate(mesh, params)
         opt_state = replicate(mesh, opt_state)
-        put_batch = lambda x, y: shard_batch(mesh, (jnp.asarray(x), jnp.asarray(y)))
+        # pads short last batches (zero images + void labels — exact, both
+        # loss and confusion mask void) so disk splits with a non-divisible
+        # tail neither crash the sharded device_put nor recompile
+        put_batch = padded_batch_putter(mesh, void_label=dataset.void_label)
     else:
         put_batch = lambda x, y: (jnp.asarray(x), jnp.asarray(y))
 

@@ -161,3 +161,60 @@ def test_sharded_inference_pads_short_last_batch(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "sharded over 4 devices" in out
     assert "per-class IoU" in out
+
+
+def test_padded_batch_putter_is_exact(cpu_devices):
+    """Padding a short batch (zero images + void labels) must leave the
+    confusion counts EXACTLY those of the real rows — the invariant that
+    makes DP training/eval on non-divisible disk splits correct."""
+    import dataclasses
+
+    from iterative_inference_segm_tpu.data.config_datasets import CAMVID
+    from iterative_inference_segm_tpu.models import init_fcn8
+    from iterative_inference_segm_tpu.parallel.mesh import make_mesh
+    from iterative_inference_segm_tpu.parallel.sharding import padded_batch_putter
+    from iterative_inference_segm_tpu.train.loop import TrainConfig, make_optimizer
+    from iterative_inference_segm_tpu.train.train_fcn8 import make_fcn8_train_step
+
+    cfg = dataclasses.replace(CAMVID, train_crop=(32, 32))
+    tcfg = TrainConfig(batch_size=8, seed=0)
+    tx = make_optimizer(tcfg)
+    params = init_fcn8(jax.random.PRNGKey(0), n_classes=cfg.n_classes, fc_channels=16)
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(5, 48, 64, 3)).astype(np.float32)  # 5 % 4 != 0
+    y = rng.integers(0, cfg.n_classes, size=(5, 48, 64)).astype(np.int32)
+
+    _, eval_single = make_fcn8_train_step(cfg, tcfg, tx, fc_channels=16)
+    cm_ref, _ = eval_single(params, jnp.asarray(x), jnp.asarray(y))
+
+    mesh = make_mesh(("data",), devices=jax.devices()[:4])
+    _, eval_dp = make_fcn8_train_step(cfg, tcfg, tx, fc_channels=16, mesh=mesh)
+    put = padded_batch_putter(mesh, void_label=cfg.void_label)
+    xb, yb = put(x, y)
+    assert xb.shape[0] == 8  # padded to a multiple of the axis size
+    cm_dp, loss = eval_dp(params, xb, yb)
+    np.testing.assert_array_equal(np.asarray(cm_dp), np.asarray(cm_ref))
+    assert np.isfinite(float(loss))
+
+
+def test_dp_training_pads_short_last_batch(tmp_path, capsys):
+    """Disk splits are rarely divisible by the batch: with --devices both
+    trainers' epoch loops hit a short LAST batch, which must be padded (not
+    crash the batch-sharded device_put)."""
+    from tests.test_first_contact import _write_camvid_tree
+
+    data_root = tmp_path / "camvid"
+    # 5 % 4 != 0; images at least the --tiny train_crop of 64x64
+    _write_camvid_tree(data_root, splits=("train", "val"), n=5, hw=(64, 64))
+
+    train_fcn8 = _load_script("train_fcn8.py")
+    rc = train_fcn8.main([
+        "--dataset", "camvid", "--data-root", str(data_root),
+        "--tiny", "--max-epochs", "1", "--batch-size", "4",
+        "--devices", "4", "--workdir", str(tmp_path / "fcn"),
+    ])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    assert "data-parallel over 4 devices" in out
+    assert (tmp_path / "fcn" / "best_fcn8.npz").exists()
