@@ -364,6 +364,33 @@ def full_rect_gradient(params: dict, s_k: jax.Array, y: jax.Array, *, mode: str)
     raise ValueError(f"unknown mode {mode!r}; expected 'score' or 'energy'")
 
 
+def _pooled_carry(params: dict, y0: jax.Array, state_dtype):
+    """Shared prologue of the pooled-engine scans: validate the
+    preconditions (stem_pool>=1 DAE, H/W divisible by the pooling factor)
+    and build the pooled carry ``x0 = avg_pool^sp(y0)``. One source of
+    truth for both the unfolded and folded scans — these invariants define
+    the engine, so a future change must hit both paths at once.
+
+    Returns ``(sp, state_dtype, x0)`` with ``state_dtype`` defaulted to
+    ``y0.dtype``.
+    """
+    sp = dae_stem_pool_of(params)
+    if sp < 1:
+        raise ValueError("half engine requires a stem_pool>=1 DAE")
+    if state_dtype is None:
+        state_dtype = y0.dtype
+    _, h, w, _ = y0.shape
+    if h % (1 << sp) or w % (1 << sp):
+        raise ValueError(f"half engine requires H, W divisible by {1 << sp}")
+
+    from iterative_inference_segm_tpu.ops.conv import avg_pool
+
+    x0 = y0.astype(state_dtype)
+    for _ in range(sp):
+        x0 = avg_pool(x0, window=2, stride=2)
+    return sp, state_dtype, x0
+
+
 def halfres_refinement_scan(
     params: dict,
     core_fn: Callable[[jax.Array], jax.Array],
@@ -410,24 +437,10 @@ def halfres_refinement_scan(
     iteration fidelity; accuracy per config is validated by the demo
     protocol like every engine (ARCHITECTURE.md).
     """
-    sp = dae_stem_pool_of(params)
-    if sp < 1:
-        raise ValueError("half engine requires a stem_pool>=1 DAE")
     if mode not in ("score", "energy"):
         raise ValueError(f"unknown mode {mode!r}; expected 'score' or 'energy'")
-    if state_dtype is None:
-        state_dtype = y0.dtype
+    _, state_dtype, x0 = _pooled_carry(params, y0, state_dtype)
     eps_s = jnp.asarray(eps, state_dtype)
-
-    b, h, w, c = y0.shape
-    if h % (1 << sp) or w % (1 << sp):
-        raise ValueError(f"half engine requires H, W divisible by {1 << sp}")
-
-    from iterative_inference_segm_tpu.ops.conv import avg_pool
-
-    x0 = y0.astype(state_dtype)
-    for _ in range(sp):
-        x0 = avg_pool(x0, window=2, stride=2)
 
     def step(x, _):
         # score mode: softmax at state_dtype — jax.nn.softmax subtracts the
@@ -470,23 +483,9 @@ def halfres_refinement_scan_folded(
     byte-identical ``full_logits`` path. stem_pool=2 DAEs iterate at
     quarter resolution (see ``halfres_refinement_scan``).
     """
-    sp = dae_stem_pool_of(params)
-    if sp < 1:
-        raise ValueError("half engine requires a stem_pool>=1 DAE")
-    if state_dtype is None:
-        state_dtype = y0.dtype
+    _, state_dtype, x0 = _pooled_carry(params, y0, state_dtype)
     fk = fold_half_tail(params, encoder=encoder)
     eps_s = jnp.asarray(eps, state_dtype)
-
-    b, h, w, c = y0.shape
-    if h % (1 << sp) or w % (1 << sp):
-        raise ValueError(f"half engine requires H, W divisible by {1 << sp}")
-
-    from iterative_inference_segm_tpu.ops.conv import avg_pool
-
-    x0 = y0.astype(state_dtype)
-    for _ in range(sp):
-        x0 = avg_pool(x0, window=2, stride=2)
 
     def step(x, _):
         pre, sk1 = predense_fn(x)

@@ -27,7 +27,7 @@ import numpy as np
 from iterative_inference_segm_tpu.data.config_datasets import DatasetConfig, CAMVID
 from iterative_inference_segm_tpu.data.pipeline import normalize_image
 from iterative_inference_segm_tpu.inference.iterative import refinement_scan
-from iterative_inference_segm_tpu.models import fcn8_apply, dae_apply
+from iterative_inference_segm_tpu.models import fcn8_apply
 
 
 class Predictor:
@@ -78,24 +78,11 @@ class Predictor:
         refine = dae_params is not None and (num_steps > 0 or engine == "half")
         if engine not in ("general", "half"):
             raise ValueError(f"unknown engine {engine!r}; expected 'general' or 'half'")
-        if dae_arch not in ("dae", "mirror", "contextmod"):
-            raise ValueError(
-                f"unknown dae_arch {dae_arch!r}; expected 'dae', 'mirror' or 'contextmod'"
-            )
+        from iterative_inference_segm_tpu.models.registry import score_apply_fn
+
+        score_apply = score_apply_fn(dae_arch)  # validates the arch name
         if engine == "half" and dae_arch != "dae":
             raise ValueError("engine='half' serves dae_arch='dae' only")
-        if dae_arch == "mirror":
-            from iterative_inference_segm_tpu.models.dae_mirror import mirror_dae_apply
-
-            score_apply = lambda p, y, hh, **kw: mirror_dae_apply(p, y, hh, **kw)
-        elif dae_arch == "contextmod":
-            from iterative_inference_segm_tpu.models.contextmod import contextmod_apply
-
-            score_apply = lambda p, y, hh, **kw: contextmod_apply(
-                p, y, hh, compute_dtype=kw.get("compute_dtype", jnp.float32)
-            )
-        else:
-            score_apply = dae_apply
 
         def _predict(fcn_params, dae_params, x):
             if normalize:
@@ -181,8 +168,12 @@ class Predictor:
         h_taps: tuple[str, ...] = ("pool4",),
         **kwargs,
     ) -> "Predictor":
-        from iterative_inference_segm_tpu.models import init_fcn8, init_dae
-        from iterative_inference_segm_tpu.models.dae import DAE_H_CHANNELS
+        from iterative_inference_segm_tpu.models import init_fcn8
+        from iterative_inference_segm_tpu.models.registry import (
+            expected_meta,
+            init_score_template,
+            score_kwargs,
+        )
         from iterative_inference_segm_tpu.utils.checkpoint import check_npz_meta, load_npz
 
         fcn_t = init_fcn8(
@@ -195,56 +186,22 @@ class Predictor:
             # Fail fast on shape-invisible architecture mismatches (notably
             # encoder='pool'|'stride' — ADVICE r2); shape-visible knobs would
             # fail in load_npz anyway, but this error names the flag.
-            if dae_arch == "mirror":
-                expect = {
-                    "arch": "mirror", "depth": dae_depth, "tied": dae_tied,
-                    **({"widths": tuple(dae_widths)} if dae_widths else {}),
-                }
-            elif dae_arch == "contextmod":
-                expect = {"arch": "contextmod"}
-            else:
-                expect = {
-                    "arch": "dae",
-                    "encoder": dae_encoder,
-                    "depth": dae_depth,
-                    "stem_pool": dae_stem_pool,
-                    "tail": dae_tail,
-                    **({"widths": tuple(dae_widths)} if dae_widths else {}),
-                }
+            expect = expected_meta(
+                dae_arch, depth=dae_depth, stem_pool=dae_stem_pool,
+                tail=dae_tail, widths=dae_widths, encoder=dae_encoder,
+                tied=dae_tied,
+            )
             check_npz_meta(dae_npz, expect, context=f"Predictor.from_npz({dae_npz})")
-            if dae_arch == "mirror":
-                from iterative_inference_segm_tpu.models import init_mirror_dae
-
-                dae_t = init_mirror_dae(
-                    jax.random.PRNGKey(0), n_classes=dataset.n_classes,
-                    h_specs={n: DAE_H_CHANNELS[n] for n in h_taps},
-                    depth=dae_depth, tied=dae_tied,
-                    **({"widths": tuple(dae_widths)} if dae_widths else {}),
-                )
-            elif dae_arch == "contextmod":
-                from iterative_inference_segm_tpu.models import init_contextmod
-
-                h_ch = DAE_H_CHANNELS["input"] if "input" in h_taps else 0
-                dae_t = init_contextmod(
-                    jax.random.PRNGKey(0), n_classes=dataset.n_classes, h_channels=h_ch
-                )
-            else:
-                dae_t = init_dae(
-                    jax.random.PRNGKey(0), n_classes=dataset.n_classes,
-                    h_specs={n: DAE_H_CHANNELS[n] for n in h_taps},
-                    depth=dae_depth, stem_pool=dae_stem_pool, tail=dae_tail,
-                    **({"widths": tuple(dae_widths)} if dae_widths else {}),
-                )
+            dae_t = init_score_template(
+                dae_arch, jax.random.PRNGKey(0), n_classes=dataset.n_classes,
+                h_taps=h_taps, depth=dae_depth, stem_pool=dae_stem_pool,
+                tail=dae_tail, widths=dae_widths, tied=dae_tied,
+            )
             dae = load_npz(dae_npz, dae_t)
-        if dae_arch == "mirror":
-            score_kwargs = {"depth": dae_depth}
-        elif dae_arch == "contextmod":
-            score_kwargs = {}
-        else:
-            score_kwargs = {"depth": dae_depth, "encoder": dae_encoder}
         return cls(
             fcn, dae, dataset=dataset, h_taps=h_taps, dae_arch=dae_arch,
-            dae_kwargs=score_kwargs, **kwargs,
+            dae_kwargs=score_kwargs(dae_arch, depth=dae_depth, encoder=dae_encoder),
+            **kwargs,
         )
 
     def predict(self, images: np.ndarray, *, return_probs: bool = False):

@@ -27,7 +27,6 @@ import jax.numpy as jnp
 
 from iterative_inference_segm_tpu.data.config_datasets import DatasetConfig, CAMVID
 from iterative_inference_segm_tpu.data.pipeline import normalize_image, random_crop_and_flip
-from iterative_inference_segm_tpu.models.dae import init_dae, dae_apply, DAE_H_CHANNELS
 from iterative_inference_segm_tpu.models.fcn8 import fcn8_apply
 from iterative_inference_segm_tpu.ops.corruption import corrupt_onehot, corrupt_probs
 from iterative_inference_segm_tpu.ops.losses import crossentropy_probs
@@ -122,25 +121,18 @@ def make_dae_train_step(
             take_gt, gt_corrupted(labels, noise_rng), fcn_corrupted(probs, noise_rng)
         )
 
-    if arch == "dae":
-        raw_apply = lambda p, y, hh: dae_apply(
-            p, y, hh, depth=dae_depth, compute_dtype=tcfg.compute_dtype,
-            encoder=dae_encoder,
-        )
-    elif arch == "mirror":
-        from iterative_inference_segm_tpu.models.dae_mirror import mirror_dae_apply
+    # arch dispatch is one table (models.registry): normalized apply + the
+    # kwargs this arch accepts, with compute_dtype bound to the train config
+    from iterative_inference_segm_tpu.models.registry import (
+        score_apply_fn,
+        score_kwargs,
+    )
 
-        raw_apply = lambda p, y, hh: mirror_dae_apply(
-            p, y, hh, depth=dae_depth, compute_dtype=tcfg.compute_dtype
-        )
-    elif arch == "contextmod":
-        from iterative_inference_segm_tpu.models.contextmod import contextmod_apply
-
-        raw_apply = lambda p, y, hh: contextmod_apply(
-            p, y, hh, compute_dtype=tcfg.compute_dtype
-        )
-    else:
-        raise ValueError(f"unknown score-network arch {arch!r}")
+    arch_apply = score_apply_fn(arch)  # validates the arch name
+    arch_kw = score_kwargs(arch, depth=dae_depth, encoder=dae_encoder)
+    raw_apply = lambda p, y, hh: arch_apply(
+        p, y, hh, compute_dtype=tcfg.compute_dtype, **arch_kw
+    )
 
     apply_fn = jax.checkpoint(raw_apply) if tcfg.remat else raw_apply
 
@@ -260,37 +252,14 @@ def train_dae(
     tcfg = tcfg or TrainConfig()
     key = jax.random.PRNGKey(tcfg.seed)
     if dae_params is None:
+        from iterative_inference_segm_tpu.models.registry import init_score_template
+
         key, init_key = jax.random.split(key)
-        if arch == "contextmod":
-            from iterative_inference_segm_tpu.models.contextmod import init_contextmod
-
-            bad = [t for t in h_taps if t != "input"]
-            if bad:
-                raise ValueError(
-                    f"contextmod conditions at input scale only; got taps {bad}"
-                )
-            h_ch = DAE_H_CHANNELS["input"] if "input" in h_taps else 0
-            dae_params = init_contextmod(
-                init_key, n_classes=dataset.n_classes, h_channels=h_ch
-            )
-        elif arch == "mirror":
-            from iterative_inference_segm_tpu.models.dae_mirror import init_mirror_dae
-
-            dae_params = init_mirror_dae(
-                init_key,
-                n_classes=dataset.n_classes,
-                h_specs={name: DAE_H_CHANNELS[name] for name in h_taps},
-                depth=dae_depth,
-                tied=dae_tied,
-                **({"widths": dae_widths} if dae_widths else {}),
-            )
-        else:
-            h_specs = {name: DAE_H_CHANNELS[name] for name in h_taps}
-            extra = {"widths": dae_widths} if dae_widths else {}
-            dae_params = init_dae(
-                init_key, n_classes=dataset.n_classes, h_specs=h_specs,
-                depth=dae_depth, stem_pool=dae_stem_pool, tail=dae_tail, **extra,
-            )
+        dae_params = init_score_template(
+            arch, init_key, n_classes=dataset.n_classes, h_taps=tuple(h_taps),
+            depth=dae_depth, stem_pool=dae_stem_pool, tail=dae_tail,
+            widths=dae_widths, tied=dae_tied,
+        )
     tx = make_optimizer(tcfg)
     opt_state = tx.init(dae_params)
     train_step, eval_step = make_dae_train_step(
@@ -331,30 +300,12 @@ def train_dae(
     # Architecture metadata stamped into best_dae.npz: shape-invisible knobs
     # (notably encoder='pool'|'stride') would otherwise load silently under
     # the wrong flag and serve degraded predictions (ADVICE r2).
-    if arch == "contextmod":
-        ckpt_meta = {"arch": arch, "h": tuple(h_taps)}
-    elif arch == "mirror":
-        from iterative_inference_segm_tpu.models.dae import DEFAULT_WIDTHS
+    from iterative_inference_segm_tpu.models.registry import checkpoint_meta
 
-        ckpt_meta = {
-            "arch": arch,
-            "depth": dae_depth,
-            "tied": dae_tied,
-            "widths": tuple(dae_widths) if dae_widths else DEFAULT_WIDTHS[:dae_depth],
-            "h": tuple(h_taps),
-        }
-    else:
-        from iterative_inference_segm_tpu.models.dae import DEFAULT_WIDTHS
-
-        ckpt_meta = {
-            "arch": arch,
-            "encoder": dae_encoder,
-            "depth": dae_depth,
-            "stem_pool": dae_stem_pool,
-            "tail": dae_tail,
-            "widths": tuple(dae_widths) if dae_widths else DEFAULT_WIDTHS[:dae_depth],
-            "h": tuple(h_taps),
-        }
+    ckpt_meta = checkpoint_meta(
+        arch, h_taps=tuple(h_taps), depth=dae_depth, stem_pool=dae_stem_pool,
+        tail=dae_tail, widths=dae_widths, encoder=dae_encoder, tied=dae_tied,
+    )
 
     logger = MetricLogger(workdir) if workdir else None
     stopper = EarlyStopper(tcfg.patience)

@@ -90,7 +90,7 @@ def main(argv=None) -> int:
     from iterative_inference_segm_tpu.inference import grid_search_eps_k, make_refiner
     from iterative_inference_segm_tpu.inference.search import grid_search_eps_k_half
     from iterative_inference_segm_tpu.inference.fused import make_half_refiner
-    from iterative_inference_segm_tpu.models import fcn8_apply, dae_apply
+    from iterative_inference_segm_tpu.models import fcn8_apply
     from iterative_inference_segm_tpu.ops.metrics import confusion_matrix, metrics_from_confusion
     from iterative_inference_segm_tpu.data.pipeline import normalize_image
     from iterative_inference_segm_tpu.train import TrainConfig, train_fcn8, train_dae
@@ -140,24 +140,17 @@ def main(argv=None) -> int:
             encoder=args.dae_encoder, mode=args.mode,
         )
     else:
-        if args.arch == "contextmod":
-            from iterative_inference_segm_tpu.models import contextmod_apply
+        # one dispatch table for apply + per-step kwargs (models.registry) —
+        # the compute_dtype forwarding ADVICE r2 caught lives there once
+        from iterative_inference_segm_tpu.models.registry import (
+            score_apply_fn,
+            score_kwargs as arch_score_kwargs,
+        )
 
-            # forward compute_dtype: grid_search_eps_k injects it via
-            # dae_kwargs, and dropping it would silently run the score net
-            # in f32 under --bf16 (ADVICE r2) — contextmod_apply accepts it
-            score_apply = lambda p, y, h, **kw: contextmod_apply(
-                p, y, h, compute_dtype=kw.get("compute_dtype", jnp.float32)
-            )
-            score_kwargs = {}
-        elif args.arch == "mirror":
-            from iterative_inference_segm_tpu.models import mirror_dae_apply
-
-            score_apply = mirror_dae_apply
-            score_kwargs = {"depth": args.dae_depth}
-        else:
-            score_apply = dae_apply
-            score_kwargs = {"depth": args.dae_depth, "encoder": args.dae_encoder}
+        score_apply = score_apply_fn(args.arch)
+        score_kwargs = arch_score_kwargs(
+            args.arch, depth=args.dae_depth, encoder=args.dae_encoder
+        )
         res = grid_search_eps_k(
             fcn8_apply, score_apply, fcn_params, dae_params, norm(val),
             n_classes=cfg.n_classes, eps_grid=args.eps_grid, k_max=args.k_max,

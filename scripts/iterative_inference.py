@@ -88,13 +88,7 @@ def main(argv=None) -> int:
     from iterative_inference_segm_tpu.data.config_datasets import DATASET_CONFIGS
     from iterative_inference_segm_tpu.data.pipeline import normalize_image
     from iterative_inference_segm_tpu.inference import make_refiner, grid_search_eps_k
-    from iterative_inference_segm_tpu.models import (
-        init_fcn8,
-        fcn8_apply,
-        init_dae,
-        dae_apply,
-    )
-    from iterative_inference_segm_tpu.models.dae import DAE_H_CHANNELS
+    from iterative_inference_segm_tpu.models import init_fcn8, fcn8_apply
     from iterative_inference_segm_tpu.ops.metrics import (
         confusion_matrix,
         metrics_from_confusion,
@@ -119,45 +113,25 @@ def main(argv=None) -> int:
         fcn_params = load_npz(args.fcn_npz, fcn_template)
     else:
         fcn_params = fcn_template
-    if args.arch == "contextmod":
-        from iterative_inference_segm_tpu.models import init_contextmod, contextmod_apply
+    # arch dispatch (apply / template / per-step kwargs / npz metadata) is
+    # centralized in models.registry — one table for all serving surfaces
+    from iterative_inference_segm_tpu.models.registry import (
+        init_score_template,
+        score_apply_fn,
+        score_kwargs as arch_score_kwargs,
+    )
 
-        h_ch = 3 if "input" in args.concat_h else 0
-        dae_template = init_contextmod(
-            jax.random.PRNGKey(args.seed + 1), n_classes=cfg.n_classes, h_channels=h_ch
-        )
-        # forward compute_dtype (grid_search_eps_k injects it via dae_kwargs;
-        # dropping it would run the score net in f32 under --bf16, ADVICE r2)
-        score_apply = lambda p, y, h, **kw: contextmod_apply(
-            p, y, h, compute_dtype=kw.get("compute_dtype", jnp.float32)
-        )
-        score_kwargs = {}
-    elif args.arch == "mirror":
-        from iterative_inference_segm_tpu.models import init_mirror_dae, mirror_dae_apply
-
-        dae_template = init_mirror_dae(
-            jax.random.PRNGKey(args.seed + 1),
-            n_classes=cfg.n_classes,
-            h_specs={name: DAE_H_CHANNELS[name] for name in args.concat_h},
-            depth=args.dae_depth,
-            tied=args.dae_tied,
-            **({"widths": tuple(args.dae_widths)} if args.dae_widths else {}),
-        )
-        score_apply = mirror_dae_apply
-        score_kwargs = {"depth": args.dae_depth}
-    else:
-        h_specs = {name: DAE_H_CHANNELS[name] for name in args.concat_h}
-        dae_template = init_dae(
-            jax.random.PRNGKey(args.seed + 1),
-            n_classes=cfg.n_classes,
-            h_specs=h_specs,
-            depth=args.dae_depth,
-            stem_pool=args.dae_stem_pool,
-            tail=args.dae_tail,
-            **({"widths": tuple(args.dae_widths)} if args.dae_widths else {}),
-        )
-        score_apply = dae_apply
-        score_kwargs = {"depth": args.dae_depth, "encoder": args.dae_encoder}
+    dae_template = init_score_template(
+        args.arch, jax.random.PRNGKey(args.seed + 1), n_classes=cfg.n_classes,
+        h_taps=tuple(args.concat_h), depth=args.dae_depth,
+        stem_pool=args.dae_stem_pool, tail=args.dae_tail,
+        widths=tuple(args.dae_widths) if args.dae_widths else None,
+        tied=args.dae_tied,
+    )
+    score_apply = score_apply_fn(args.arch)
+    score_kwargs = arch_score_kwargs(
+        args.arch, depth=args.dae_depth, encoder=args.dae_encoder
+    )
     if args.dae_mirror_npz:
         if args.arch != "mirror":
             raise SystemExit("--dae-mirror-npz requires --arch mirror")
@@ -165,18 +139,17 @@ def main(argv=None) -> int:
 
         dae_params = import_mirror_dae_npz(args.dae_mirror_npz, dae_template)
     elif args.dae_npz:
+        from iterative_inference_segm_tpu.models.registry import expected_meta
         from iterative_inference_segm_tpu.utils.checkpoint import check_npz_meta
 
         # shape-invisible knobs (encoder style) must match the checkpoint's
         # stamped metadata or inference silently degrades (ADVICE r2)
-        expect = {"arch": args.arch}
-        if args.arch == "dae":
-            expect.update(
-                encoder=args.dae_encoder, depth=args.dae_depth,
-                stem_pool=args.dae_stem_pool, tail=args.dae_tail,
-            )
-        elif args.arch == "mirror":
-            expect.update(depth=args.dae_depth, tied=args.dae_tied)
+        expect = expected_meta(
+            args.arch, depth=args.dae_depth, stem_pool=args.dae_stem_pool,
+            tail=args.dae_tail,
+            widths=tuple(args.dae_widths) if args.dae_widths else None,
+            encoder=args.dae_encoder, tied=args.dae_tied,
+        )
         check_npz_meta(args.dae_npz, expect, context=f"--dae-npz {args.dae_npz}")
         dae_params = load_npz(args.dae_npz, dae_template)
     else:
