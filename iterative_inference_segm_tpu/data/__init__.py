@@ -17,3 +17,4 @@ from iterative_inference_segm_tpu.data.pipeline import (
 from iterative_inference_segm_tpu.data.camvid import load_split, iterate_split
 from iterative_inference_segm_tpu.data.loaders import load_dataset_split
 from iterative_inference_segm_tpu.data.prefetch import device_prefetch
+from iterative_inference_segm_tpu.data.native_loader import NativeDataset, pack_dataset

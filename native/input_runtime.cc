@@ -44,6 +44,9 @@ struct Header {
 struct Batch {
   std::vector<float> images;
   std::vector<int32_t> labels;
+  // raw wire mode: untouched uint8 bytes (normalize runs on-device instead —
+  // 4x fewer bytes across the host->device link)
+  std::vector<uint8_t> u8img, u8lab;
   int64_t count = 0;  // samples in this batch (< batch_size at epoch tail)
 };
 
@@ -58,6 +61,7 @@ struct Loader {
   int batch_size = 0;
   bool shuffle = false;
   bool drop_last = false;
+  bool raw = false;  // produce uint8 batches (on-device normalize)
   uint64_t seed = 0;
   int queue_depth = 4;
 
@@ -91,6 +95,29 @@ void fill_batch(const Loader* L, int64_t bidx, Batch* out) {
   const int64_t start = bidx * L->batch_size;
   const int64_t end = std::min<int64_t>(start + L->batch_size, L->hdr.n);
   out->count = end - start;
+
+  if (L->raw) {
+    // raw wire mode: batch assembly is a straight gather of record bytes
+    // (shuffle/reorder still apply); decode+normalize happen on-device
+    out->u8img.resize(static_cast<size_t>(L->batch_size) * px * C);
+    out->u8lab.resize(static_cast<size_t>(L->batch_size) * px);
+    for (int64_t s = start; s < end; ++s) {
+      const uint32_t idx = L->order[static_cast<size_t>(s)];
+      const uint8_t* rec = L->record(idx);
+      std::memcpy(out->u8img.data() + static_cast<size_t>(s - start) * px * C,
+                  rec, px * C);
+      std::memcpy(out->u8lab.data() + static_cast<size_t>(s - start) * px,
+                  rec + px * C, px);
+    }
+    const size_t got = static_cast<size_t>(out->count);
+    std::memset(out->u8img.data() + got * px * C, 0,
+                (L->batch_size - got) * px * C);
+    std::memset(out->u8lab.data() + got * px,
+                static_cast<int>(L->hdr.n_classes),  // void padding
+                (L->batch_size - got) * px);
+    return;
+  }
+
   out->images.resize(static_cast<size_t>(L->batch_size) * px * C);
   out->labels.resize(static_cast<size_t>(L->batch_size) * px);
 
@@ -214,9 +241,19 @@ void ir_info(void* handle, int64_t* out) {
   out[4] = L->hdr.n_classes;
 }
 
+// Normalization statistics from the file header: mean[4], std[4].
+void ir_stats(void* handle, float* mean, float* stddev) {
+  auto* L = static_cast<Loader*>(handle);
+  for (int ch = 0; ch < 4; ++ch) {
+    mean[ch] = L->hdr.mean[ch];
+    stddev[ch] = L->hdr.stddev[ch];
+  }
+}
+
 // Begin one epoch of batch production with `n_threads` workers.
+// `raw != 0` selects the uint8 wire mode (dequeue via ir_next_raw).
 void ir_start_epoch(void* handle, int batch_size, int shuffle, uint64_t seed,
-                    int drop_last, int n_threads, int queue_depth) {
+                    int drop_last, int n_threads, int queue_depth, int raw) {
   auto* L = static_cast<Loader*>(handle);
   stop_workers(L);
   {
@@ -225,6 +262,7 @@ void ir_start_epoch(void* handle, int batch_size, int shuffle, uint64_t seed,
     L->batch_size = batch_size;
     L->shuffle = shuffle != 0;
     L->drop_last = drop_last != 0;
+    L->raw = raw != 0;
     L->seed = seed;
     L->queue_depth = queue_depth > 0 ? queue_depth : 4;
     L->next_batch = 0;
@@ -244,27 +282,45 @@ void ir_start_epoch(void* handle, int batch_size, int shuffle, uint64_t seed,
   for (int t = 0; t < nt; ++t) L->workers.emplace_back(worker_main, L);
 }
 
+namespace {
+// Dequeue the next in-order batch; returns false when the epoch is over.
+bool pop_batch(Loader* L, Batch* b) {
+  std::unique_lock<std::mutex> lk(L->mu);
+  if (L->next_deliver >= num_batches(L)) return false;  // epoch exhausted
+  L->cv_pop.wait(lk, [L] {
+    return L->stop.load() || L->ready.count(L->next_deliver) > 0;
+  });
+  auto it = L->ready.find(L->next_deliver);
+  if (it == L->ready.end()) return false;  // stopped mid-epoch
+  *b = std::move(it->second);
+  L->ready.erase(it);
+  L->next_deliver++;
+  L->cv_push.notify_all();
+  return true;
+}
+}  // namespace
+
 // Dequeue the next batch into caller-owned buffers
 // (images: batch*H*W*C floats; labels: batch*H*W int32).
 // Returns number of real samples in the batch, or -1 when the epoch is over.
 int64_t ir_next(void* handle, float* images, int32_t* labels) {
   auto* L = static_cast<Loader*>(handle);
   Batch b;
-  {
-    std::unique_lock<std::mutex> lk(L->mu);
-    if (L->next_deliver >= num_batches(L)) return -1;  // epoch exhausted
-    L->cv_pop.wait(lk, [L] {
-      return L->stop.load() || L->ready.count(L->next_deliver) > 0;
-    });
-    auto it = L->ready.find(L->next_deliver);
-    if (it == L->ready.end()) return -1;  // stopped mid-epoch
-    b = std::move(it->second);
-    L->ready.erase(it);
-    L->next_deliver++;
-    L->cv_push.notify_all();
-  }
+  if (!pop_batch(L, &b)) return -1;
   std::memcpy(images, b.images.data(), b.images.size() * sizeof(float));
   std::memcpy(labels, b.labels.data(), b.labels.size() * sizeof(int32_t));
+  return b.count;
+}
+
+// Raw wire mode dequeue: uint8 image and label bytes exactly as stored
+// (normalize/cast happen on-device — data/pipeline.normalize_image with
+// input_scale=255). Epoch must have been started with raw=1.
+int64_t ir_next_raw(void* handle, uint8_t* images, uint8_t* labels) {
+  auto* L = static_cast<Loader*>(handle);
+  Batch b;
+  if (!pop_batch(L, &b)) return -1;
+  std::memcpy(images, b.u8img.data(), b.u8img.size());
+  std::memcpy(labels, b.u8lab.data(), b.u8lab.size());
   return b.count;
 }
 

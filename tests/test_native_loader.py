@@ -103,6 +103,42 @@ def test_multiple_epochs_reuse_handle(packed):
             assert len(list(ds.batches(4))) == 4
 
 
+def test_raw_wire_mode_roundtrip(packed):
+    # raw=True ships the stored uint8 bytes verbatim (4x fewer bytes over the
+    # host->device link); the consumer normalizes on-device with
+    # normalize_image(..., input_scale=255).
+    path, images, labels = packed
+    with NativeDataset(path) as ds:
+        got = list(ds.batches(4, raw=True))
+    assert all(i.dtype == np.uint8 and l.dtype == np.uint8 for i, l in got)
+    all_imgs = np.concatenate([i for i, _ in got])[:13]
+    all_labs = np.concatenate([l for _, l in got])[:13]
+    np.testing.assert_array_equal(all_imgs, images)
+    np.testing.assert_array_equal(all_labs.astype(np.int32), labels)
+    # tail padding: zero image bytes, void labels
+    last_imgs, last_labs = got[-1]
+    assert (last_imgs[1:] == 0).all()
+    assert (last_labs[1:] == CAMVID.n_classes).all()
+
+
+def test_raw_wire_mode_shuffle_matches_f32_order(packed):
+    # the two wire modes draw the SAME shuffled order for the same seed
+    path, _, _ = packed
+    with NativeDataset(path) as ds:
+        raw = [l.copy() for _, l in ds.batches(4, shuffle=True, seed=5, raw=True)]
+        f32 = [l.copy() for _, l in ds.batches(4, shuffle=True, seed=5)]
+    for a, b in zip(raw, f32):
+        np.testing.assert_array_equal(a.astype(np.int32), b)
+
+
+def test_raw_wire_mode_exposes_stats(packed):
+    # on-device normalization needs the header statistics
+    path, _, _ = packed
+    with NativeDataset(path) as ds:
+        assert ds.mean == pytest.approx(CAMVID.mean, abs=1e-6)
+        assert ds.std == pytest.approx(CAMVID.std, abs=1e-6)
+
+
 def test_pack_maps_negative_void_to_void_label(tmp_path):
     # Regression (ADVICE r1 medium): -1 void markers must become
     # cfg.void_label, not be clipped onto class 0.
