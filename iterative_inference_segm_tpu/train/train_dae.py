@@ -46,6 +46,7 @@ def make_dae_train_step(
     from_gt: bool | float,
     augment: bool = True,
     normalize: bool = True,
+    input_scale: float = 1.0,
     dae_depth: int = 4,
     dae_encoder: str = "pool",
     corruption_impl: str = "auto",
@@ -147,8 +148,9 @@ def make_dae_train_step(
             # decorrelate per-device randomness (crops, corruption noise)
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         aug_rng, noise_rng = jax.random.split(rng)
+        labels = labels.astype(jnp.int32)  # no-op unless on the u8 wire
         if normalize:
-            images = normalize_image(images, cfg)
+            images = normalize_image(images, cfg, input_scale=input_scale)
         if augment:
             images, labels = random_crop_and_flip(aug_rng, images, labels, crop=cfg.train_crop)
         probs, h = fcn8_apply(
@@ -170,8 +172,9 @@ def make_dae_train_step(
     def eval_core(dae_params, fcn_params, images, labels, rng, *, dp: bool):
         if dp:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        labels = labels.astype(jnp.int32)
         if normalize:
-            images = normalize_image(images, cfg)
+            images = normalize_image(images, cfg, input_scale=input_scale)
         probs, h = fcn8_apply(
             fcn_params, images, return_features=h_taps, compute_dtype=tcfg.compute_dtype
         )
@@ -236,6 +239,7 @@ def train_dae(
     workdir: str | None = None,
     augment: bool = True,
     normalize: bool = True,
+    input_scale: float = 1.0,
     dae_params=None,
     resume: bool = True,
     checkpoint_every: int = 1,
@@ -271,6 +275,7 @@ def train_dae(
         from_gt=from_gt,
         augment=augment,
         normalize=normalize,
+        input_scale=input_scale,
         dae_depth=dae_depth,
         dae_encoder=dae_encoder,
         corruption_impl=corruption_impl,

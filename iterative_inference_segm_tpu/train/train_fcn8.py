@@ -34,6 +34,7 @@ def make_fcn8_train_step(
     *,
     augment: bool = True,
     normalize: bool = True,
+    input_scale: float = 1.0,
     fc_channels: int = 4096,
     mesh=None,
 ):
@@ -41,6 +42,9 @@ def make_fcn8_train_step(
 
     Augmentation (random crop + flip + normalize) runs inside the same
     program — the host only supplies raw uint8/float batches.
+    ``input_scale=255.0`` with ``normalize=True`` is the u8 wire mode
+    (``NativeDataset.batches(raw=True)``): raw bytes cross the host->device
+    link and this step normalizes/casts on-chip.
 
     ``mesh``: a ``jax.sharding.Mesh`` with a 'data' axis makes both steps
     data-parallel via ``shard_map`` — batches shard over the axis, params
@@ -78,8 +82,9 @@ def make_fcn8_train_step(
             # decorrelate per-device randomness (augmentation crops, dropout)
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         aug_rng, drop_rng = jax.random.split(rng)
+        labels = labels.astype(jnp.int32)  # no-op unless on the u8 wire
         if normalize:
-            images = normalize_image(images, cfg)
+            images = normalize_image(images, cfg, input_scale=input_scale)
         if augment:
             images, labels = random_crop_and_flip(
                 aug_rng, images, labels, crop=cfg.train_crop
@@ -95,8 +100,9 @@ def make_fcn8_train_step(
         return params, opt_state, loss
 
     def eval_core(params, images, labels, *, dp: bool):
+        labels = labels.astype(jnp.int32)
         if normalize:
-            images = normalize_image(images, cfg)
+            images = normalize_image(images, cfg, input_scale=input_scale)
         probs, _ = fcn8_apply(params, images, compute_dtype=tcfg.compute_dtype)
         pred = jnp.argmax(probs, axis=-1)
         cm = confusion_matrix(pred, labels, n_classes=cfg.n_classes)
@@ -146,6 +152,7 @@ def train_fcn8(
     workdir: str | None = None,
     augment: bool = True,
     normalize: bool = True,
+    input_scale: float = 1.0,
     params=None,
     resume: bool = True,
     checkpoint_every: int = 1,
@@ -159,7 +166,9 @@ def train_fcn8(
     and every batch is sharded over the axis before each step.
 
     Set ``normalize=False`` when batches are already normalized (e.g. the
-    native packed-dataset loader applies mean/std on the host).
+    native packed-dataset loader's f32 wire applies mean/std on the host);
+    set ``input_scale=255.0`` for the u8 wire mode (raw bytes + on-chip
+    normalize — ``NativeDataset.batches(raw=True)``).
 
     With a ``workdir``, (params, opt_state) are orbax-checkpointed every
     ``checkpoint_every`` epochs and a killed run auto-restores from the
@@ -184,7 +193,7 @@ def train_fcn8(
     opt_state = tx.init(params)
     train_step, eval_step = make_fcn8_train_step(
         dataset, tcfg, tx, augment=augment, normalize=normalize,
-        fc_channels=fc_channels, mesh=mesh,
+        input_scale=input_scale, fc_channels=fc_channels, mesh=mesh,
     )
 
     if mesh is not None:

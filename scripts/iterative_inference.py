@@ -26,6 +26,13 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", default="camvid", choices=["camvid", "em", "polyps"])
     p.add_argument("--data-root", default=None)
+    p.add_argument("--packed", default=None,
+                   help="directory of <split>.iist files (native C++ input "
+                        "runtime); evaluates val/test from the packed file")
+    p.add_argument("--wire", default="f32", choices=["f32", "u8"],
+                   help="packed-path wire format: 'f32' = host-normalized "
+                        "floats; 'u8' = raw bytes to the device + on-chip "
+                        "normalize (ARCHITECTURE.md 'End-to-end serving path')")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--fcn-npz", default=None)
     p.add_argument("--fcn-reference-npz", default=None,
@@ -155,7 +162,26 @@ def main(argv=None) -> int:
     else:
         dae_params = dae_template
 
-    if args.synthetic or not args.data_root:
+    if args.packed:
+        from iterative_inference_segm_tpu.data.native_loader import NativeDataset
+
+        raw_wire = args.wire == "u8"
+        # u8 wire: uint8 bytes cross the host->device link, this jitted
+        # ingest normalizes on-chip; batches stay device-resident for the
+        # search and eval loops below
+        norm_u8 = jax.jit(lambda x: normalize_image(x, cfg, input_scale=255.0))
+
+        def packed_batches(split):
+            with NativeDataset(os.path.join(args.packed, f"{split}.iist")) as ds:
+                out = []
+                for i, l in ds.batches(args.batch_size, raw=raw_wire):
+                    lab = np.asarray(l, np.int32)
+                    out.append((norm_u8(jnp.asarray(i)) if raw_wire else i, lab))
+                return out
+
+        val_batches = packed_batches("val")
+        test_batches = packed_batches("test")
+    elif args.synthetic or not args.data_root:
         from iterative_inference_segm_tpu.data.synthetic import synthetic_batches
 
         def get_batches(split_seed):

@@ -22,6 +22,12 @@ def parse_args(argv=None):
     p.add_argument("--data-root", default=None, help="dataset directory (CamVid layout)")
     p.add_argument("--packed", default=None,
                    help="directory of <split>.iist files for the native C++ input runtime")
+    p.add_argument("--wire", default="f32", choices=["f32", "u8"],
+                   help="packed-path wire format: 'f32' = host-normalized "
+                        "floats (reference layout); 'u8' = raw bytes to the "
+                        "device, normalize on-chip (4x fewer bytes across "
+                        "the link, ~20x faster host producer — ARCHITECTURE"
+                        ".md 'End-to-end serving path')")
     p.add_argument("--synthetic", action="store_true", help="use the synthetic dataset")
     p.add_argument("--devices", default=None,
                    help="data-parallel training over N devices ('auto' = all "
@@ -75,6 +81,7 @@ def main(argv=None) -> int:
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
 
+    raw_wire = args.wire == "u8"
     if args.packed:
         from iterative_inference_segm_tpu.data.native_loader import NativeDataset
 
@@ -85,10 +92,11 @@ def main(argv=None) -> int:
         def train_data():
             epoch_counter["n"] += 1
             return train_ds.batches(
-                args.batch_size, shuffle=True, seed=args.seed + epoch_counter["n"]
+                args.batch_size, shuffle=True, seed=args.seed + epoch_counter["n"],
+                raw=raw_wire,
             )
 
-        val_data = lambda: val_ds.batches(args.batch_size)
+        val_data = lambda: val_ds.batches(args.batch_size, raw=raw_wire)
     elif args.synthetic or not args.data_root:
         from iterative_inference_segm_tpu.data.synthetic import synthetic_batches
 
@@ -155,7 +163,10 @@ def main(argv=None) -> int:
             fc_channels=fc_channels,
             workdir=workdir,
             augment=not args.no_augment,
-            normalize=not args.packed,  # native loader normalizes on the host
+            # f32 packed wire: the native loader normalized on the host;
+            # u8 wire (or unpacked sources): normalize on-chip
+            normalize=not args.packed or raw_wire,
+            input_scale=255.0 if (args.packed and raw_wire) else 1.0,
             params=params,
             mesh=mesh,
             epoch_callback=lambda e, h, _p: print(

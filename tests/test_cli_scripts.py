@@ -96,3 +96,58 @@ def test_mirror_arch_train_then_infer_and_reference_npz(tmp_path):
         "--concat-h", "pool3",
     ])
     assert rc == 0
+
+
+def test_packed_u8_wire_trains_both_nets(tmp_path):
+    """--packed --wire u8: raw uint8 batches cross the host->device link and
+    both trainers normalize/cast on-chip (input_scale=255 inside the jitted
+    step). Pins the whole seam: pack -> native raw batches -> CLI -> train."""
+    import numpy as np
+
+    from iterative_inference_segm_tpu.data.config_datasets import CAMVID
+    from iterative_inference_segm_tpu.data.native_loader import pack_dataset
+
+    rng = np.random.default_rng(0)
+    packed = tmp_path / "packed"
+    packed.mkdir()
+    for split, n in (("train", 8), ("val", 4), ("test", 4)):
+        imgs = rng.integers(0, 256, (n, 96, 128, 3), np.uint8)
+        labs = rng.integers(0, CAMVID.n_classes, (n, 96, 128)).astype(np.int32)
+        pack_dataset(packed / f"{split}.iist", imgs, labs, CAMVID)
+
+    train_fcn8 = _load_script("train_fcn8.py")
+    fcn_dir = tmp_path / "fcn8"
+    rc = train_fcn8.main([
+        "--packed", str(packed), "--wire", "u8", "--tiny",
+        "--max-epochs", "1", "--batch-size", "4",
+        "--workdir", str(fcn_dir),
+    ])
+    assert rc in (0, None)
+    assert (fcn_dir / "best_fcn8.npz").exists()
+
+    train_dae = _load_script("train_dae.py")
+    dae_dir = tmp_path / "dae"
+    rc = train_dae.main([
+        "--packed", str(packed), "--wire", "u8", "--tiny",
+        "--max-epochs", "1", "--batch-size", "4",
+        "--fcn-npz", str(fcn_dir / "best_fcn8.npz"),
+        "--dae-stem-pool", "1", "--dae-depth", "3",
+        "--dae-widths", "8", "16", "32",
+        "--workdir", str(dae_dir),
+    ])
+    assert rc in (0, None)
+    assert (dae_dir / "best_dae.npz").exists()
+
+    # the inference workload evaluates straight from the packed file on the
+    # same wire (device-resident on-chip-normalized batches)
+    iterative_inference = _load_script("iterative_inference.py")
+    rc = iterative_inference.main([
+        "--packed", str(packed), "--wire", "u8", "--tiny",
+        "--batch-size", "4", "--num-steps", "2",
+        "--fcn-npz", str(fcn_dir / "best_fcn8.npz"),
+        "--dae-npz", str(dae_dir / "best_dae.npz"),
+        "--dae-stem-pool", "1", "--dae-depth", "3",
+        "--dae-widths", "8", "16", "32",
+        "--engine", "half",
+    ])
+    assert rc == 0
