@@ -218,3 +218,30 @@ def test_dp_training_pads_short_last_batch(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "data-parallel over 4 devices" in out
     assert (tmp_path / "fcn" / "best_fcn8.npz").exists()
+
+
+def test_dp_training_on_u8_wire(tmp_path, capsys):
+    """--packed --wire u8 --devices N: raw uint8 batches shard over the mesh
+    (4x fewer bytes per device_put) and the jitted DP step normalizes/casts
+    on-chip; the non-divisible tail exercises padded_batch_putter on uint8
+    dtypes (zero image bytes + uint8 void labels)."""
+    from iterative_inference_segm_tpu.data.config_datasets import CAMVID
+    from iterative_inference_segm_tpu.data.native_loader import pack_dataset
+
+    rng = np.random.default_rng(0)
+    packed = tmp_path / "packed"
+    packed.mkdir()
+    for split, n in (("train", 6), ("val", 4)):  # 6 % 4 != 0 -> padded tail
+        imgs = rng.integers(0, 256, (n, 96, 128, 3), np.uint8)
+        labs = rng.integers(0, CAMVID.n_classes, (n, 96, 128)).astype(np.int32)
+        pack_dataset(packed / f"{split}.iist", imgs, labs, CAMVID)
+
+    train_fcn8 = _load_script("train_fcn8.py")
+    rc = train_fcn8.main([
+        "--packed", str(packed), "--wire", "u8", "--tiny",
+        "--max-epochs", "1", "--batch-size", "4",
+        "--devices", "4", "--workdir", str(tmp_path / "fcn"),
+    ])
+    assert rc in (0, None)
+    assert "data-parallel over 4 devices" in capsys.readouterr().out
+    assert (tmp_path / "fcn" / "best_fcn8.npz").exists()
