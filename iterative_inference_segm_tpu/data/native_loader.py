@@ -174,6 +174,8 @@ class NativeDataset:
                     img8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                     lab8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 )
+                if got == -2:
+                    raise RuntimeError("epoch was started in f32 mode; iterate the non-raw generator")
                 if got < 0:
                     break
                 yield img8.copy(), lab8.copy()
@@ -186,6 +188,8 @@ class NativeDataset:
                 img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 lab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             )
+            if got == -2:
+                raise RuntimeError("epoch was started in raw mode; iterate with raw=True")
             if got < 0:
                 break
             yield img.copy(), lab.copy()

@@ -305,6 +305,7 @@ bool pop_batch(Loader* L, Batch* b) {
 // Returns number of real samples in the batch, or -1 when the epoch is over.
 int64_t ir_next(void* handle, float* images, int32_t* labels) {
   auto* L = static_cast<Loader*>(handle);
+  if (L->raw) return -2;  // epoch is in raw mode: dequeue via ir_next_raw
   Batch b;
   if (!pop_batch(L, &b)) return -1;
   std::memcpy(images, b.images.data(), b.images.size() * sizeof(float));
@@ -317,6 +318,7 @@ int64_t ir_next(void* handle, float* images, int32_t* labels) {
 // input_scale=255). Epoch must have been started with raw=1.
 int64_t ir_next_raw(void* handle, uint8_t* images, uint8_t* labels) {
   auto* L = static_cast<Loader*>(handle);
+  if (!L->raw) return -2;  // epoch is in f32 mode: dequeue via ir_next
   Batch b;
   if (!pop_batch(L, &b)) return -1;
   std::memcpy(images, b.u8img.data(), b.u8img.size());

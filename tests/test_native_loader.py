@@ -164,3 +164,33 @@ def test_pack_validates_shapes(tmp_path):
 def test_open_missing_file():
     with pytest.raises(FileNotFoundError):
         NativeDataset("/nonexistent/path.iist")
+
+
+def test_raw_wire_single_channel(tmp_path):
+    # EM-style C=1 data through the raw gather
+    import dataclasses
+
+    from iterative_inference_segm_tpu.data.config_datasets import EM
+
+    cfg = dataclasses.replace(EM, height=12, width=16)
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 256, (5, 12, 16, 1), np.uint8)
+    labs = rng.integers(0, cfg.n_classes, (5, 12, 16)).astype(np.int32)
+    pack_dataset(tmp_path / "em.iist", imgs, labs, cfg)
+    with NativeDataset(tmp_path / "em.iist") as ds:
+        got = list(ds.batches(5, raw=True))
+    np.testing.assert_array_equal(got[0][0], imgs)
+    np.testing.assert_array_equal(got[0][1].astype(np.int32), labs)
+
+
+def test_stale_generator_mode_mismatch_raises(packed):
+    # a partially-consumed f32 generator must fail loudly (not truncate
+    # silently) once a raw epoch supersedes it on the same handle
+    path, _, _ = packed
+    with NativeDataset(path) as ds:
+        f32_gen = ds.batches(4)
+        next(f32_gen)
+        raw_gen = ds.batches(4, raw=True)  # starts a raw epoch
+        next(raw_gen)
+        with pytest.raises(RuntimeError, match="raw"):
+            next(f32_gen)
