@@ -64,8 +64,9 @@ def parse_args(argv=None):
     p.add_argument("--mode", default="score", choices=["score", "energy"])
     p.add_argument("--engine", default="general", choices=["general", "half"],
                    help="'half' = throughput engine (K pooled-map steps + one "
-                        "full-res rectification; requires --dae-stem-pool 1, "
-                        "score mode; see ARCHITECTURE.md)")
+                        "full-res rectification; requires --dae-stem-pool >= 1 "
+                        "— 2 iterates at quarter res; score AND energy modes; "
+                        "see ARCHITECTURE.md)")
     p.add_argument("--renorm", default="none", choices=["none", "softmax"])
     p.add_argument("--search", action="store_true", help="grid-search (eps, K) on val first")
     p.add_argument("--eps-grid", nargs="*", type=float, default=[0.02, 0.05, 0.1, 0.2])
