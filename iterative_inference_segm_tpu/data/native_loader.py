@@ -41,7 +41,19 @@ def _load_lib() -> ctypes.CDLL:
     ):
         # build on demand (or rebuild a stale lib); the toolchain is part of
         # the deployment image
-        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
+        try:
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True
+            )
+        except (subprocess.CalledProcessError, OSError):
+            if not _LIB_PATH.exists():
+                raise  # no usable library at all
+            import warnings
+
+            warnings.warn(
+                "native input_runtime rebuild failed; using the existing "
+                f"(possibly stale) {_LIB_PATH.name}"
+            )
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.ir_open.restype = ctypes.c_void_p
     lib.ir_open.argtypes = [ctypes.c_char_p]

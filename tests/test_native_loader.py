@@ -194,3 +194,32 @@ def test_stale_generator_mode_mismatch_raises(packed):
         next(raw_gen)
         with pytest.raises(RuntimeError, match="raw"):
             next(f32_gen)
+
+
+def test_stale_lib_rebuild_failure_falls_back(monkeypatch):
+    # if the on-demand rebuild of a stale .so fails but a library exists,
+    # loading warns and uses it instead of crashing the data path
+    import subprocess
+    import warnings
+
+    from iterative_inference_segm_tpu.data import native_loader as nl
+
+    nl._load_lib()  # ensure the library exists (builds if needed)
+    old = nl._LIB_PATH.stat()
+    monkeypatch.setattr(nl, "_lib", None)  # force a reload
+    import os
+
+    os.utime(nl._LIB_PATH, (old.st_atime, 1.0))  # make it look stale
+    try:
+        def boom(*a, **k):
+            raise subprocess.CalledProcessError(1, "make")
+
+        monkeypatch.setattr(nl.subprocess, "run", boom)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            lib = nl._load_lib()
+        assert lib is not None
+        assert any("rebuild failed" in str(x.message) for x in w)
+    finally:
+        os.utime(nl._LIB_PATH, (old.st_atime, old.st_mtime))
+    # monkeypatch teardown restores nl._lib to the pre-test library
