@@ -118,24 +118,28 @@ def main() -> int:
         "bf16": jnp.bfloat16, "f32": jnp.float32, "compute": compute_dtype
     }[args.state_dtype]
 
-    if args.engine in ("fused", "half"):
-        from iterative_inference_segm_tpu.inference.fused import (
-            fused_refinement_scan,
-            halfres_refinement_scan,
+    if args.engine == "half":
+        # the ONE shared pipeline definition (inference/fused.py) — the same
+        # function __graft_entry__.entry() and tools/serve_bench.py measure
+        from iterative_inference_segm_tpu.inference.fused import flagship_forward_fn
+
+        fold = args.dae_tail == "full" and not args.no_fold_tail
+        forward = flagship_forward_fn(
+            num_steps=args.steps, depth=args.dae_depth,
+            compute_dtype=compute_dtype, state_dtype=state_dtype,
+            encoder=args.dae_encoder, fold_tail=fold,
         )
-        from iterative_inference_segm_tpu.models.dae import dae_core
 
-        scan_impl = (
-            halfres_refinement_scan if args.engine == "half" else fused_refinement_scan
+        @jax.jit
+        def pipeline(fcn_params, dae_params, x):
+            _, y_k = forward(fcn_params, dae_params, x)
+            return jnp.sum(jnp.argmax(y_k, axis=-1), dtype=jnp.int32)
+    elif args.engine == "fused":
+        from iterative_inference_segm_tpu.inference.fused import fused_refinement_scan
+        from iterative_inference_segm_tpu.models.dae import (
+            dae_core,
+            precompute_bottleneck_h,
         )
-
-        from iterative_inference_segm_tpu.models.dae import precompute_bottleneck_h
-
-        fold = args.engine == "half" and args.dae_tail == "full" and not args.no_fold_tail
-        if fold:
-            from iterative_inference_segm_tpu.inference.fused import (
-                halfres_refinement_scan_folded,
-            )
 
         @jax.jit
         def pipeline(fcn_params, dae_params, x):
@@ -148,26 +152,15 @@ def main() -> int:
                 dae_params, h, depth=args.dae_depth, stem_pool=sp,
                 in_hw=(x.shape[1] >> sp, x.shape[2] >> sp),
             )
-            if fold:
-                predense_fn = lambda yp: dae_core(
-                    dae_params, yp.astype(compute_dtype), bh[2],
-                    depth=args.dae_depth, stem_pool=sp, bottleneck_h=bh,
-                    encoder=args.dae_encoder, predense=True,
-                )
-                y_k = halfres_refinement_scan_folded(
-                    dae_params, predense_fn, y0, eps=0.1, num_steps=args.steps,
-                    state_dtype=state_dtype, encoder=args.dae_encoder,
-                )
-            else:
-                core_fn = lambda yp: dae_core(
-                    dae_params, yp.astype(compute_dtype), bh[2],
-                    depth=args.dae_depth, stem_pool=sp, bottleneck_h=bh,
-                    encoder=args.dae_encoder,
-                )
-                y_k = scan_impl(
-                    dae_params, core_fn, y0, eps=0.1, num_steps=args.steps,
-                    state_dtype=state_dtype,
-                )
+            core_fn = lambda yp: dae_core(
+                dae_params, yp.astype(compute_dtype), bh[2],
+                depth=args.dae_depth, stem_pool=sp, bottleneck_h=bh,
+                encoder=args.dae_encoder,
+            )
+            y_k = fused_refinement_scan(
+                dae_params, core_fn, y0, eps=0.1, num_steps=args.steps,
+                state_dtype=state_dtype,
+            )
             pred = jnp.argmax(y_k, axis=-1)
             return jnp.sum(pred, dtype=jnp.int32)
     else:

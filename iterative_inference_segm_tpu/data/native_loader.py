@@ -55,6 +55,22 @@ def _load_lib() -> ctypes.CDLL:
                 f"(possibly stale) {_LIB_PATH.name}"
             )
     lib = ctypes.CDLL(str(_LIB_PATH))
+    # A stale fallback library (rebuild failed above) must still carry the
+    # full current ABI — binding a missing symbol later would surface as a
+    # cryptic AttributeError deep in the data path.
+    missing = [
+        sym
+        for sym in (
+            "ir_open", "ir_info", "ir_stats", "ir_start_epoch",
+            "ir_next", "ir_next_raw", "ir_close",
+        )
+        if not hasattr(lib, sym)
+    ]
+    if missing:
+        raise RuntimeError(
+            f"{_LIB_PATH.name} is stale (missing symbols {missing}) and the "
+            "rebuild failed; run `make -C native` manually"
+        )
     lib.ir_open.restype = ctypes.c_void_p
     lib.ir_open.argtypes = [ctypes.c_char_p]
     lib.ir_info.restype = None

@@ -57,6 +57,7 @@ from iterative_inference_segm_tpu.models.dae import (
     dae_core,
     dae_stem_pool_of,
     dae_tail_of,
+    precompute_bottleneck_h,
 )
 
 
@@ -535,54 +536,116 @@ def make_half_refiner(
 
     # params as jit ARGUMENTS — closures over weights exceed the device
     # relay's compile-request limit for real-size models (CLAUDE.md)
-    sp = dae_stem_pool_of(dae_params)
-
-    @jax.jit
-    def _refine(fcn_params, dae_params, x):
-        from iterative_inference_segm_tpu.models.dae import precompute_bottleneck_h
-
-        # probs at the carry dtype: identical numerics path to bench.py's
-        # flagship pipeline (bf16 carry => bf16 y0, no f32 round trip)
-        y0, h = fcn_apply(
-            fcn_params, x, return_features=h_taps, compute_dtype=compute_dtype,
-            probs_dtype=state_dtype or compute_dtype,
-        )
-        bh = precompute_bottleneck_h(
-            dae_params, h, depth=depth, stem_pool=sp,
-            in_hw=(x.shape[1] >> sp, x.shape[2] >> sp),
-        )
-
-        if fold_tail:
-
-            def predense_fn(x_half):
-                return dae_core(
-                    dae_params, x_half.astype(compute_dtype), bh[2],
-                    depth=depth, stem_pool=sp, bottleneck_h=bh, encoder=encoder,
-                    predense=True,
-                )
-
-            y_k = halfres_refinement_scan_folded(
-                dae_params, predense_fn, y0, eps=eps, num_steps=num_steps,
-                state_dtype=state_dtype or compute_dtype, encoder=encoder,
-            )
-            return y0, y_k
-
-        def core_fn(x_half):
-            return dae_core(
-                dae_params, x_half.astype(compute_dtype), bh[2],
-                depth=depth, stem_pool=sp, bottleneck_h=bh, encoder=encoder,
-            )
-
-        y_k = halfres_refinement_scan(
-            dae_params, core_fn, y0, eps=eps, num_steps=num_steps,
-            state_dtype=state_dtype or compute_dtype, mode=mode,
-        )
-        return y0, y_k
+    _refine = jax.jit(flagship_forward_fn(
+        fcn_apply=fcn_apply, eps=eps, num_steps=num_steps, h_taps=h_taps,
+        depth=depth, compute_dtype=compute_dtype, state_dtype=state_dtype,
+        encoder=encoder, mode=mode, fold_tail=fold_tail,
+    ))
 
     def refine(x: jax.Array) -> tuple[jax.Array, jax.Array]:
         return _refine(fcn_params, dae_params, x)
 
     return refine
+
+
+def flagship_forward_fn(
+    *,
+    fcn_apply: Callable | None = None,
+    eps: float = 0.1,
+    num_steps: int = 5,
+    h_taps: tuple[str, ...] = ("pool4",),
+    depth: int = 3,
+    compute_dtype=jnp.bfloat16,
+    state_dtype=None,
+    encoder: str = "pool",
+    mode: str = "score",
+    fold_tail: bool = True,
+) -> Callable:
+    """The flagship pipeline as ONE pure function (params are ARGUMENTS —
+    relay 413-safe; callers jit): ``forward(fcn_params, dae_params, x) ->
+    (y0, y_k)``. FCN-8 forward with the conditioning taps, K pooled-map
+    refinement steps at the DAE's stem scale (stem_pool inferred from the
+    param tree: 1 = half engine, 2 = quarter), one full-res rectification,
+    optionally the folded per-step tail (``fold_half_tail``).
+
+    Single definition shared by ``bench.py``, ``tools/serve_bench.py``,
+    ``__graft_entry__.entry()``, and ``make_half_refiner`` so the benched
+    configuration cannot drift between harnesses.
+    """
+    if fcn_apply is None:
+        from iterative_inference_segm_tpu.models.fcn8 import fcn8_apply as fcn_apply
+
+    def forward(fcn_params, dae_params, x):
+        # probs at the carry dtype: identical numerics on every surface
+        # (bf16 carry => bf16 y0, no f32 full-res round trip)
+        y0, h = fcn_apply(
+            fcn_params, x, return_features=h_taps, compute_dtype=compute_dtype,
+            probs_dtype=state_dtype or compute_dtype,
+        )
+        y_k = halfres_refine(
+            dae_params, y0, h, (x.shape[1], x.shape[2]),
+            eps=eps, num_steps=num_steps, depth=depth,
+            compute_dtype=compute_dtype, state_dtype=state_dtype,
+            encoder=encoder, mode=mode, fold_tail=fold_tail,
+        )
+        return y0, y_k
+
+    return forward
+
+
+def halfres_refine(
+    dae_params: dict,
+    y0: jax.Array,
+    h,
+    in_hw: tuple[int, int],
+    *,
+    eps: float,
+    num_steps: int,
+    depth: int,
+    compute_dtype,
+    state_dtype=None,
+    encoder: str = "pool",
+    mode: str = "score",
+    fold_tail: bool | None = None,
+) -> jax.Array:
+    """The pooled-engine refinement from a precomputed FCN forward: K steps
+    on the stem-scale class map + one full-res rectification. ``in_hw`` is
+    the full-resolution (H, W); stem_pool comes from the param tree.
+    ``fold_tail=None`` folds whenever legal (score mode, 'full' tail) —
+    the benched default. Shared by ``flagship_forward_fn`` and the serving
+    ``Predictor`` so every surface runs the same numerics."""
+    if fold_tail is None:
+        fold_tail = mode == "score" and dae_tail_of(dae_params) == "full"
+    sp = dae_stem_pool_of(dae_params)
+    bh = precompute_bottleneck_h(
+        dae_params, h, depth=depth, stem_pool=sp,
+        in_hw=(in_hw[0] >> sp, in_hw[1] >> sp),
+    )
+
+    if fold_tail:
+
+        def predense_fn(x_half):
+            return dae_core(
+                dae_params, x_half.astype(compute_dtype), bh[2],
+                depth=depth, stem_pool=sp, bottleneck_h=bh, encoder=encoder,
+                predense=True,
+            )
+
+        return halfres_refinement_scan_folded(
+            dae_params, predense_fn, y0, eps=eps, num_steps=num_steps,
+            state_dtype=state_dtype or compute_dtype, encoder=encoder,
+        )
+
+    def core_fn(x_half):
+        return dae_core(
+            dae_params, x_half.astype(compute_dtype), bh[2],
+            depth=depth, stem_pool=sp, bottleneck_h=bh, encoder=encoder,
+        )
+
+    return halfres_refinement_scan(
+        dae_params, core_fn, y0, eps=eps, num_steps=num_steps,
+        state_dtype=state_dtype or compute_dtype, mode=mode,
+    )
 
 
 def make_fused_refiner(

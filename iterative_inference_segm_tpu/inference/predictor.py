@@ -100,47 +100,19 @@ class Predictor:
             )
             y = y0
             if refine and engine == "half":
-                from iterative_inference_segm_tpu.inference.fused import (
-                    halfres_refinement_scan,
-                    halfres_refinement_scan_folded,
-                )
-                from iterative_inference_segm_tpu.models.dae import (
-                    dae_core,
-                    dae_stem_pool_of,
-                    dae_tail_of,
-                    precompute_bottleneck_h,
-                )
+                # the ONE shared pooled-engine refinement (inference/fused.
+                # halfres_refine): serving runs the same numerics as the
+                # benched flagship, folded tail whenever legal
+                from iterative_inference_segm_tpu.inference.fused import halfres_refine
 
-                depth = dae_kwargs.get("depth", 4)
-                enc = dae_kwargs.get("encoder", "pool")
-                sp = dae_stem_pool_of(dae_params)
-                # fold loop-invariant bottleneck conditioning into a bias —
-                # same optimization the bench pipeline and make_half_refiner use
-                bh = precompute_bottleneck_h(
-                    dae_params, h, depth=depth, stem_pool=sp,
-                    in_hw=(x.shape[1] >> sp, x.shape[2] >> sp),
+                y = halfres_refine(
+                    dae_params, y0, h, (x.shape[1], x.shape[2]),
+                    eps=eps, num_steps=num_steps,
+                    depth=dae_kwargs.get("depth", 4),
+                    compute_dtype=compute_dtype,
+                    encoder=dae_kwargs.get("encoder", "pool"),
+                    mode=mode,
                 )
-                if mode == "score" and dae_tail_of(dae_params) == "full":
-                    # folded per-step tail — serving runs the same numerics
-                    # as the benched flagship (make_half_refiner's default)
-                    predense_fn = lambda xx: dae_core(
-                        dae_params, xx.astype(compute_dtype), bh[2],
-                        depth=depth, stem_pool=sp, bottleneck_h=bh,
-                        encoder=enc, predense=True,
-                    )
-                    y = halfres_refinement_scan_folded(
-                        dae_params, predense_fn, y0, eps=eps, num_steps=num_steps,
-                        state_dtype=compute_dtype, encoder=enc,
-                    )
-                else:
-                    core_fn = lambda xx: dae_core(
-                        dae_params, xx.astype(compute_dtype), bh[2],
-                        depth=depth, stem_pool=sp, bottleneck_h=bh, encoder=enc,
-                    )
-                    y = halfres_refinement_scan(
-                        dae_params, core_fn, y0, eps=eps, num_steps=num_steps,
-                        state_dtype=compute_dtype, mode=mode,
-                    )
             elif refine:
                 dae_fn = lambda yy: score_apply(
                     dae_params, yy, h, compute_dtype=compute_dtype, **dae_kwargs

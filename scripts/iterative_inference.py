@@ -84,7 +84,11 @@ def parse_args(argv=None):
     p.add_argument("--dump-trajectory", action="store_true",
                    help="with --dump-dir: dump every intermediate step y_0..y_K "
                         "of the first batch (the reference's y_k trajectory dumps)")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.wire != "f32" and not args.packed:
+        p.error("--wire u8 requires --packed (the wire format is a property "
+                "of the packed-path input runtime)")
+    return args
 
 
 def main(argv=None) -> int:
@@ -163,25 +167,44 @@ def main(argv=None) -> int:
     else:
         dae_params = dae_template
 
+    from iterative_inference_segm_tpu.parallel.mesh import mesh_from_flag
+
+    mesh = mesh_from_flag(args.devices, batch_size=args.batch_size)
+
     if args.packed:
+        import dataclasses
+
         from iterative_inference_segm_tpu.data.native_loader import NativeDataset
 
         raw_wire = args.wire == "u8"
-        # u8 wire: uint8 bytes cross the host->device link, this jitted
-        # ingest normalizes on-chip; batches stay device-resident for the
-        # search and eval loops below
-        norm_u8 = jax.jit(lambda x: normalize_image(x, cfg, input_scale=255.0))
+        packed_stats = {}
 
-        def packed_batches(split):
+        def packed_batches(split, *, device_normalize=True):
+            """u8 wire: uint8 bytes cross the host->device link and a jitted
+            ingest normalizes on-chip with the FILE's header statistics (the
+            f32 wire's host normalize honors them, so both wires must agree
+            even if the file was packed under different stats than the
+            runtime --dataset config). With ``device_normalize=False`` (the
+            sharded-eval path) batches stay host-side u8 and the eval loop's
+            put_x normalizes after the sharded device_put."""
             with NativeDataset(os.path.join(args.packed, f"{split}.iist")) as ds:
+                file_cfg = dataclasses.replace(cfg, mean=ds.mean, std=ds.std)
+                packed_stats[split] = file_cfg
+                norm = jax.jit(
+                    lambda x: normalize_image(x, file_cfg, input_scale=255.0)
+                )
                 out = []
                 for i, l in ds.batches(args.batch_size, raw=raw_wire):
                     lab = np.asarray(l, np.int32)
-                    out.append((norm_u8(jnp.asarray(i)) if raw_wire else i, lab))
+                    if raw_wire and device_normalize:
+                        i = norm(jnp.asarray(i))
+                    out.append((i, lab))
                 return out
 
-        val_batches = packed_batches("val")
-        test_batches = packed_batches("test")
+        # val is only consumed by --search; don't require (or transfer) it
+        # otherwise — a pure serving layout may ship test.iist alone
+        val_batches = packed_batches("val") if args.search else []
+        test_batches = packed_batches("test", device_normalize=mesh is None)
     elif args.synthetic or not args.data_root:
         from iterative_inference_segm_tpu.data.synthetic import synthetic_batches
 
@@ -295,23 +318,36 @@ def main(argv=None) -> int:
                     traj[k, j], cfg,
                 )
 
-    from iterative_inference_segm_tpu.parallel.mesh import mesh_from_flag
-
-    mesh = mesh_from_flag(args.devices, batch_size=args.batch_size)
     if mesh is not None:
         from iterative_inference_segm_tpu.parallel.sharding import batch_sharding
 
         x_sharding = batch_sharding(mesh, 4)
 
-        def put_x(im):
+        def pad_full(im):
             # pad a short LAST batch up to the compiled batch size (one
             # jitted shape; disk splits are rarely divisible) — padded rows
             # are sliced back off the predictions below
-            im = np.asarray(im, np.float32)
             if im.shape[0] < args.batch_size:
-                pad = np.zeros((args.batch_size - im.shape[0], *im.shape[1:]), np.float32)
+                pad = np.zeros((args.batch_size - im.shape[0], *im.shape[1:]), im.dtype)
                 im = np.concatenate([im, pad])
-            return jax.device_put(im, x_sharding)
+            return im
+
+        if args.packed and args.wire == "u8":
+            # u8 bytes cross the link sharded; normalization (test-file
+            # header stats) runs on-device AFTER the sharded put — never
+            # round-trip a device-normalized batch back through the host
+            norm_sharded = jax.jit(
+                lambda x: normalize_image(
+                    x, packed_stats["test"], input_scale=255.0
+                )
+            )
+            put_x = lambda im: norm_sharded(
+                jax.device_put(pad_full(np.asarray(im)), x_sharding)
+            )
+        else:
+            put_x = lambda im: jax.device_put(
+                pad_full(np.asarray(im, np.float32)), x_sharding
+            )
 
         print(f"eval batches sharded over {mesh.shape['data']} devices", flush=True)
     else:

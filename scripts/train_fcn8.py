@@ -51,7 +51,11 @@ def parse_args(argv=None):
     p.add_argument("--tiny", action="store_true", help="tiny model+images (CI/smoke)")
     p.add_argument("--num-train-batches", type=int, default=8, help="synthetic only")
     p.add_argument("--num-val-batches", type=int, default=2, help="synthetic only")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.wire != "f32" and not args.packed:
+        p.error("--wire u8 requires --packed (the wire format is a property "
+                "of the packed-path input runtime)")
+    return args
 
 
 def main(argv=None) -> int:
@@ -87,6 +91,12 @@ def main(argv=None) -> int:
 
         train_ds = NativeDataset(os.path.join(args.packed, "train.iist"))
         val_ds = NativeDataset(os.path.join(args.packed, "val.iist"))
+        if raw_wire:
+            # u8 wire: the jitted step normalizes on-chip — honor the FILE's
+            # header statistics, exactly as the f32 wire's host normalize does
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, mean=train_ds.mean, std=train_ds.std)
         epoch_counter = {"n": 0}
 
         def train_data():

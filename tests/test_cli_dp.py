@@ -223,8 +223,9 @@ def test_dp_training_pads_short_last_batch(tmp_path, capsys):
 def test_dp_training_on_u8_wire(tmp_path, capsys):
     """--packed --wire u8 --devices N: raw uint8 batches shard over the mesh
     (4x fewer bytes per device_put) and the jitted DP step normalizes/casts
-    on-chip; the non-divisible tail exercises padded_batch_putter on uint8
-    dtypes (zero image bytes + uint8 void labels)."""
+    on-chip. (The native loader pads its own tail batches, so the putter's
+    pad branch is exercised separately by
+    test_padded_batch_putter_uint8_short_batch.)"""
     from iterative_inference_segm_tpu.data.config_datasets import CAMVID
     from iterative_inference_segm_tpu.data.native_loader import pack_dataset
 
@@ -245,3 +246,26 @@ def test_dp_training_on_u8_wire(tmp_path, capsys):
     assert rc in (0, None)
     assert "data-parallel over 4 devices" in capsys.readouterr().out
     assert (tmp_path / "fcn" / "best_fcn8.npz").exists()
+
+
+def test_padded_batch_putter_uint8_short_batch():
+    """A non-packed uint8 source with a short tail must pad with zero image
+    BYTES and uint8 void labels, preserving dtypes through the sharded put —
+    the u8-wire contract for DP sources that do not self-pad."""
+    from iterative_inference_segm_tpu.data.config_datasets import CAMVID
+    from iterative_inference_segm_tpu.parallel.mesh import make_mesh
+    from iterative_inference_segm_tpu.parallel.sharding import padded_batch_putter
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, (5, 8, 8, 3), np.uint8)  # 5 % 4 != 0
+    y = rng.integers(0, CAMVID.n_classes, (5, 8, 8)).astype(np.uint8)
+
+    mesh = make_mesh(("data",), devices=jax.devices()[:4])
+    put = padded_batch_putter(mesh, void_label=CAMVID.void_label)
+    xb, yb = put(x, y)
+    assert xb.shape[0] == yb.shape[0] == 8
+    assert xb.dtype == jnp.uint8 and yb.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(xb)[:5], x)
+    np.testing.assert_array_equal(np.asarray(yb)[:5], y)
+    assert (np.asarray(xb)[5:] == 0).all()
+    assert (np.asarray(yb)[5:] == CAMVID.void_label).all()

@@ -65,14 +65,9 @@ def main() -> int:
     from iterative_inference_segm_tpu.data.native_loader import NativeDataset, pack_dataset
     from iterative_inference_segm_tpu.data.pipeline import normalize_image
     from iterative_inference_segm_tpu.data.prefetch import device_prefetch
-    from iterative_inference_segm_tpu.inference.fused import halfres_refinement_scan_folded
-    from iterative_inference_segm_tpu.models import init_fcn8, fcn8_apply
-    from iterative_inference_segm_tpu.models.dae import (
-        DAE_H_CHANNELS,
-        dae_core,
-        init_dae,
-        precompute_bottleneck_h,
-    )
+    from iterative_inference_segm_tpu.inference.fused import flagship_forward_fn
+    from iterative_inference_segm_tpu.models import init_fcn8
+    from iterative_inference_segm_tpu.models.dae import DAE_H_CHANNELS, init_dae
 
     B, H, W = args.batch, args.height, args.width
     n = B * args.num_batches
@@ -106,25 +101,12 @@ def main() -> int:
         jax.random.PRNGKey(1), n_classes=n_classes,
         h_specs={"pool4": DAE_H_CHANNELS["pool4"]}, depth=3, stem_pool=1,
     )
-    cd = jnp.bfloat16
+    # the ONE shared pipeline definition (inference/fused.py) — identical to
+    # what bench.py's default run and __graft_entry__.entry() measure
+    flagship = flagship_forward_fn(num_steps=args.steps, depth=3)
 
     def refine(fcn_params, dae_params, x):
-        y0, h = fcn8_apply(
-            fcn_params, x, return_features=("pool4",), compute_dtype=cd,
-            probs_dtype=cd,
-        )
-        bh = precompute_bottleneck_h(
-            dae_params, h, depth=3, stem_pool=1,
-            in_hw=(x.shape[1] // 2, x.shape[2] // 2),
-        )
-        predense_fn = lambda yp: dae_core(
-            dae_params, yp.astype(cd), bh[2], depth=3, stem_pool=1,
-            bottleneck_h=bh, predense=True,
-        )
-        y_k = halfres_refinement_scan_folded(
-            dae_params, predense_fn, y0, eps=0.1, num_steps=args.steps,
-            state_dtype=cd,
-        )
+        _, y_k = flagship(fcn_params, dae_params, x)
         return jnp.sum(jnp.argmax(y_k, axis=-1), dtype=jnp.int32)
 
     @jax.jit
