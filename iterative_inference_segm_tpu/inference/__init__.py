@@ -13,5 +13,7 @@ from iterative_inference_segm_tpu.inference.fused import (
     make_half_refiner,
     make_fused_refiner,
     halfres_refinement_scan,
+    halfres_refine,
+    flagship_forward_fn,
 )
 from iterative_inference_segm_tpu.inference.predictor import Predictor

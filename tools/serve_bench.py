@@ -29,6 +29,10 @@ All timings sync by ONE jax.device_get of a chained on-device accumulator
 (block_until_ready does not block through the relay — CLAUDE.md).
 
 Usage: python tools/serve_bench.py [--batch 128] [--num-batches 6] [...]
+
+Keep --num-batches >= 4 for quotable numbers: with fewer, fixed per-epoch
+costs (worker spawn, first-touch faults, relay queue pauses) dominate every
+stage and the readings are overhead, not throughput.
 """
 
 from __future__ import annotations
