@@ -1,0 +1,184 @@
+"""Pipeline-parallelism tests on the faked 8-device CPU mesh (SURVEY.md §5).
+
+Correctness contract of parallel/pp.py: the GPipe schedule (shard_map +
+scan-over-ticks + ppermute hand-off) computes EXACTLY the sequential
+composition of its stages, for any microbatch count, for heterogeneous
+(lax.switch) and homogeneous-stacked (per-stage param residency) stages,
+composed with DP, and under jax.grad (the transposed schedule is the
+reverse pipeline).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from iterative_inference_segm_tpu.models import init_fcn8
+from iterative_inference_segm_tpu.models.dae import DAE_H_CHANNELS, init_dae
+from iterative_inference_segm_tpu.inference.fused import flagship_forward_fn
+from iterative_inference_segm_tpu.parallel import (
+    make_gpipe,
+    make_gpipe_stacked,
+    make_mesh,
+    make_pp_flagship,
+    merge_microbatches,
+    split_microbatches,
+)
+
+C = 5
+
+
+def _two_stages():
+    k0 = jax.random.normal(jax.random.PRNGKey(0), (4, 4))
+    k1 = jax.random.normal(jax.random.PRNGKey(1), (4, 4))
+
+    def s0(p, w):
+        return {**w, "a": jnp.tanh(w["a"] @ p)}
+
+    def s1(p, w):
+        return {**w, "a": w["a"] @ p + 1.0}
+
+    return (k0, k1), (s0, s1)
+
+
+def test_microbatch_split_merge_roundtrip(cpu_devices):
+    x = jnp.arange(24.0).reshape(12, 2)
+    xm = split_microbatches(x, 4)
+    assert xm.shape == (4, 3, 2)
+    np.testing.assert_array_equal(np.asarray(merge_microbatches(xm)), np.asarray(x))
+
+
+def test_gpipe_heterogeneous_matches_sequential(cpu_devices):
+    params, (s0, s1) = _two_stages()
+    mesh = make_mesh(("stage",), (2,), devices=jax.devices()[:2])
+    pipe = make_gpipe((s0, s1), mesh)
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 3, 4))
+    ref = s1(params[1], s0(params[0], {"a": x}))["a"]
+    out = jax.jit(pipe)(params, {"a": x})
+    np.testing.assert_allclose(np.asarray(out["a"]), np.asarray(ref), rtol=1e-5)
+
+
+def test_gpipe_single_microbatch_and_many(cpu_devices):
+    """The schedule is valid at every bubble ratio: M=1 (pure bubble) and
+    M >> S both reduce to the sequential composition."""
+    params, (s0, s1) = _two_stages()
+    mesh = make_mesh(("stage",), (2,), devices=jax.devices()[:2])
+    pipe = make_gpipe((s0, s1), mesh)
+    for m in (1, 7):
+        x = jax.random.normal(jax.random.PRNGKey(m), (m, 2, 4))
+        ref = s1(params[1], s0(params[0], {"a": x}))["a"]
+        out = jax.jit(pipe)(params, {"a": x})
+        np.testing.assert_allclose(np.asarray(out["a"]), np.asarray(ref), rtol=1e-5)
+
+
+def test_gpipe_stage_count_mismatch_raises(cpu_devices):
+    params, (s0, s1) = _two_stages()
+    mesh = make_mesh(("stage",), (4,), devices=jax.devices()[:4])
+    try:
+        make_gpipe((s0, s1), mesh)
+        raise AssertionError("expected ValueError on 2 fns over a 4-wide axis")
+    except ValueError as e:
+        assert "stage" in str(e)
+
+
+def test_gpipe_stacked_matches_sequential(cpu_devices):
+    """Homogeneous 4-stage pipeline with stage-stacked params (each device
+    holds only its own slice — P('stage') in_spec)."""
+    mesh = make_mesh(("stage",), (4,), devices=jax.devices()[:4])
+    ks = jax.random.normal(jax.random.PRNGKey(3), (4, 4, 4))
+
+    def stage(p, w):
+        return {**w, "a": jnp.tanh(w["a"] @ p)}
+
+    def seq(ps, a):
+        for i in range(4):
+            a = jnp.tanh(a @ ps[i])
+        return a
+
+    pipe = make_gpipe_stacked(stage, mesh)
+    x = jax.random.normal(jax.random.PRNGKey(4), (6, 2, 4))
+    out = jax.jit(pipe)(ks, {"a": x})
+    np.testing.assert_allclose(
+        np.asarray(out["a"]), np.asarray(seq(ks, x)), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_gpipe_grad_matches_sequential(cpu_devices):
+    """jax.grad through the pipelined schedule == sequential gradient: the
+    ppermute/scan transposes implement the reverse pipeline for free."""
+    mesh = make_mesh(("stage",), (4,), devices=jax.devices()[:4])
+    ks = jax.random.normal(jax.random.PRNGKey(3), (4, 4, 4))
+
+    def stage(p, w):
+        return {**w, "a": jnp.tanh(w["a"] @ p)}
+
+    def seq(ps, a):
+        for i in range(4):
+            a = jnp.tanh(a @ ps[i])
+        return a
+
+    pipe = make_gpipe_stacked(stage, mesh)
+    x = jax.random.normal(jax.random.PRNGKey(4), (6, 2, 4))
+    g_pipe = jax.jit(jax.grad(lambda ps: jnp.sum(pipe(ps, {"a": x})["a"] ** 2)))(ks)
+    g_ref = jax.jit(jax.grad(lambda ps: jnp.sum(seq(ps, x) ** 2)))(ks)
+    np.testing.assert_allclose(
+        np.asarray(g_pipe), np.asarray(g_ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def _flagship_pair():
+    fcn = init_fcn8(jax.random.PRNGKey(0), n_classes=C, fc_channels=16)
+    dae = init_dae(
+        jax.random.PRNGKey(1),
+        n_classes=C,
+        h_specs={"pool4": DAE_H_CHANNELS["pool4"]},
+        depth=3,
+        stem_pool=1,
+    )
+    return fcn, dae
+
+
+def test_pp_flagship_matches_sequential(cpu_devices):
+    """2-stage flagship pipeline (FCN forward | pooled refinement) ==
+    flagship_forward_fn on the same params, both y0 and y_K."""
+    fcn, dae = _flagship_pair()
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 64, 64, 3))
+    seq = flagship_forward_fn(num_steps=3, depth=3, eps=0.1, compute_dtype=jnp.float32)
+    y0_ref, yk_ref = jax.jit(seq)(fcn, dae, x)
+
+    mesh = make_mesh(("stage",), (2,), devices=jax.devices()[:2])
+    pp = make_pp_flagship(mesh, eps=0.1, num_steps=3, depth=3, compute_dtype=jnp.float32)
+    y0, yk = jax.jit(pp)(fcn, dae, split_microbatches(x, 4))
+    np.testing.assert_allclose(
+        np.asarray(merge_microbatches(y0)), np.asarray(y0_ref), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(merge_microbatches(yk)), np.asarray(yk_ref), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_pp_flagship_composes_with_dp(cpu_devices):
+    """('data', 'stage') mesh: microbatch batch dim sharded over DP while
+    stages pipeline over 'stage' — same numerics."""
+    fcn, dae = _flagship_pair()
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 64, 64, 3))
+    seq = flagship_forward_fn(num_steps=3, depth=3, eps=0.1, compute_dtype=jnp.float32)
+    _, yk_ref = jax.jit(seq)(fcn, dae, x)
+
+    mesh = make_mesh(("data", "stage"), (2, 2), devices=jax.devices()[:4])
+    pp = make_pp_flagship(
+        mesh, eps=0.1, num_steps=3, depth=3, compute_dtype=jnp.float32,
+        batch_axis="data",
+    )
+    _, yk = jax.jit(pp)(fcn, dae, split_microbatches(x, 4))
+    np.testing.assert_allclose(
+        np.asarray(merge_microbatches(yk)), np.asarray(yk_ref), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_pp_flagship_wrong_stage_width_raises(cpu_devices):
+    mesh = make_mesh(("stage",), (4,), devices=jax.devices()[:4])
+    try:
+        make_pp_flagship(mesh, eps=0.1, num_steps=3)
+        raise AssertionError("expected ValueError on a 4-wide stage axis")
+    except ValueError as e:
+        assert "2 stages" in str(e)
