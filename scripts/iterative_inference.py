@@ -76,6 +76,16 @@ def parse_args(argv=None):
                    help="shard each eval batch over N devices ('auto' = all): "
                         "the jitted refiner runs SPMD over a 'data' mesh "
                         "(params replicated, XLA partitions over ICI)")
+    p.add_argument("--pp", action="store_true",
+                   help="serve through the 2-stage pipeline (FCN forward | "
+                        "pooled refinement, parallel/pp.py): microbatches "
+                        "stream through per-device stages over a 'stage' "
+                        "mesh axis; with --devices N>=4 (even) the batch "
+                        "also shards over a composed 'data' axis. Requires "
+                        "--engine half")
+    p.add_argument("--pp-microbatches", type=int, default=2,
+                   help="microbatches in flight per batch with --pp "
+                        "(batch size must divide by microbatches x DP)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--tiny", action="store_true")
@@ -88,6 +98,12 @@ def parse_args(argv=None):
     if args.wire != "f32" and not args.packed:
         p.error("--wire u8 requires --packed (the wire format is a property "
                 "of the packed-path input runtime)")
+    if args.pp and args.engine != "half":
+        p.error("--pp pipelines the pooled-engine flagship; rerun with "
+                "--engine half (and a --dae-stem-pool >= 1 DAE)")
+    if args.pp and args.wire == "u8":
+        p.error("--pp takes the f32 wire; the u8 sharded ingest composes "
+                "with the --devices DP eval path only")
     return args
 
 
@@ -170,6 +186,33 @@ def main(argv=None) -> int:
     from iterative_inference_segm_tpu.parallel.mesh import mesh_from_flag
 
     mesh = mesh_from_flag(args.devices, batch_size=args.batch_size)
+
+    pp_mesh = pp_batch_axis = None
+    if args.pp:
+        from iterative_inference_segm_tpu.parallel.mesh import make_mesh
+
+        avail = jax.devices()
+        n_pp = (
+            len(avail) if args.devices == "auto"
+            else int(args.devices) if args.devices else 2
+        )
+        if n_pp < 2 or n_pp % 2:
+            raise SystemExit(f"--pp needs an even device count >= 2; got {n_pp}")
+        if n_pp > len(avail):
+            raise SystemExit(f"--pp over {n_pp} devices but only {len(avail)} visible")
+        if n_pp >= 4:
+            pp_mesh = make_mesh(("data", "stage"), (n_pp // 2, 2), devices=avail[:n_pp])
+            pp_batch_axis = "data"
+        else:
+            pp_mesh = make_mesh(("stage",), (2,), devices=avail[:2])
+        pp_dp = n_pp // 2 if n_pp >= 4 else 1
+        if args.batch_size % (args.pp_microbatches * pp_dp):
+            raise SystemExit(
+                f"--batch-size {args.batch_size} not divisible by "
+                f"--pp-microbatches {args.pp_microbatches} x DP width {pp_dp}"
+            )
+        # the pipeline does its own sharding; the DP eval-put path stands down
+        mesh = None
 
     if args.packed:
         import dataclasses
@@ -272,7 +315,42 @@ def main(argv=None) -> int:
     # num_steps=0 is honest (search may pick K=0 when the FCN has no
     # headroom): the scan has length 0 and yk == y0 — never report a 1-step
     # result as K=0 (ADVICE r1).
-    if args.engine == "half":
+    if args.pp:
+        from iterative_inference_segm_tpu.parallel.pp import (
+            make_pp_flagship,
+            merge_microbatches,
+            split_microbatches,
+        )
+
+        pp_fwd = jax.jit(make_pp_flagship(
+            pp_mesh, eps=eps, num_steps=num_steps, h_taps=tuple(args.concat_h),
+            depth=args.dae_depth, compute_dtype=compute_dtype,
+            encoder=args.dae_encoder, mode=args.mode, batch_axis=pp_batch_axis,
+        ))
+
+        def refine(x):
+            x = jnp.asarray(x, jnp.float32)
+            if x.shape[0] < args.batch_size:
+                # one compiled shape: pad short last batches (the eval loop
+                # slices predictions back to the true row count)
+                pad = jnp.zeros(
+                    (args.batch_size - x.shape[0], *x.shape[1:]), x.dtype
+                )
+                x = jnp.concatenate([x, pad])
+            y0, yk = pp_fwd(
+                fcn_params, dae_params,
+                split_microbatches(x, args.pp_microbatches),
+            )
+            return merge_microbatches(y0), merge_microbatches(yk)
+
+        dp_note = (
+            f" x {pp_mesh.shape['data']}-wide DP" if pp_batch_axis else ""
+        )
+        print(
+            f"pipeline-parallel serving: 2 stages{dp_note}, "
+            f"{args.pp_microbatches} microbatches in flight", flush=True,
+        )
+    elif args.engine == "half":
         from iterative_inference_segm_tpu.inference.fused import make_half_refiner
 
         refine = make_half_refiner(

@@ -269,3 +269,40 @@ def test_padded_batch_putter_uint8_short_batch():
     np.testing.assert_array_equal(np.asarray(yb)[:5], y)
     assert (np.asarray(xb)[5:] == 0).all()
     assert (np.asarray(yb)[5:] == CAMVID.void_label).all()
+
+
+def test_iterative_inference_cli_pp_matches_sequential(capsys):
+    """--pp (the 2-stage pipeline, composed with DP at --devices 4) must
+    report EXACTLY the sequential half engine's metrics: same params (seeded
+    random init), same synthetic split, f32 numerics — the pipelined seam
+    may not perturb a single prediction."""
+    iterative_inference = _load_script("iterative_inference.py")
+    base = [
+        "--synthetic", "--tiny", "--num-steps", "3", "--engine", "half",
+        "--dae-stem-pool", "1", "--dae-depth", "3", "--batch-size", "8",
+        "--num-batches", "2", "--seed", "7",
+    ]
+
+    rc = iterative_inference.main(base)
+    assert rc in (0, None)
+    seq_out = capsys.readouterr().out
+
+    rc = iterative_inference.main(
+        base + ["--pp", "--devices", "4", "--pp-microbatches", "2"]
+    )
+    assert rc in (0, None)
+    pp_out = capsys.readouterr().out
+    assert "pipeline-parallel serving: 2 stages x 2-wide DP" in pp_out
+
+    seq_metrics = [l for l in seq_out.splitlines() if "mIoU" in l]
+    pp_metrics = [l for l in pp_out.splitlines() if "mIoU" in l]
+    assert seq_metrics and seq_metrics == pp_metrics
+
+
+def test_iterative_inference_cli_pp_requires_half_engine(capsys):
+    iterative_inference = _load_script("iterative_inference.py")
+    with pytest.raises(SystemExit):
+        iterative_inference.main([
+            "--synthetic", "--tiny", "--pp", "--engine", "general",
+        ])
+    assert "--engine half" in capsys.readouterr().err

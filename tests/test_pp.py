@@ -182,3 +182,32 @@ def test_pp_flagship_wrong_stage_width_raises(cpu_devices):
         raise AssertionError("expected ValueError on a 4-wide stage axis")
     except ValueError as e:
         assert "2 stages" in str(e)
+
+
+def test_pp_flagship_grad_matches_sequential(cpu_devices):
+    """Training THROUGH the pipelined flagship: the gradient of a loss on
+    y_K w.r.t. the DAE params equals the sequential flagship's gradient —
+    the reverse pipeline (ppermute/scan transposes) is exact on the real
+    model, not just toy stages."""
+    fcn, dae = _flagship_pair()
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 64, 64, 3))
+    seq = flagship_forward_fn(num_steps=2, depth=3, eps=0.1, compute_dtype=jnp.float32)
+
+    mesh = make_mesh(("stage",), (2,), devices=jax.devices()[:2])
+    pp = make_pp_flagship(mesh, eps=0.1, num_steps=2, depth=3, compute_dtype=jnp.float32)
+    xm = split_microbatches(x, 2)
+
+    def loss_seq(dae_p):
+        _, yk = seq(fcn, dae_p, x)
+        return jnp.mean(jnp.square(yk))
+
+    def loss_pp(dae_p):
+        _, yk = pp(fcn, dae_p, xm)
+        return jnp.mean(jnp.square(merge_microbatches(yk)))
+
+    g_seq = jax.jit(jax.grad(loss_seq))(dae)
+    g_pp = jax.jit(jax.grad(loss_pp))(dae)
+    for a, b in zip(jax.tree.leaves(g_seq), jax.tree.leaves(g_pp)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6
+        )
