@@ -3,6 +3,7 @@
 from iterative_inference_segm_tpu.utils.checkpoint import (
     save_checkpoint,
     restore_checkpoint,
+    restore_checkpoint_sharded,
     save_npz,
     load_npz,
 )

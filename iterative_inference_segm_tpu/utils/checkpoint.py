@@ -197,6 +197,33 @@ def restore_checkpoint(directory: str | os.PathLike, step: int, template):
     return _checkpointer().restore(path, target=template)
 
 
+def restore_checkpoint_sharded(
+    directory: str | os.PathLike, step: int, template, shardings
+):
+    """Restore a checkpoint directly INTO a device-mesh layout.
+
+    ``shardings`` is a pytree of ``jax.sharding.Sharding`` matching
+    ``template``'s structure (e.g. ``parallel.tp.tp_shardings`` for the
+    fc6/fc7 TP layout, or all-replicated on a DP mesh). Orbax places each
+    leaf shard-by-shard as it reads — no host-side full-size materialize,
+    no post-hoc reshard — so the save topology and the restore topology are
+    independent: a single-chip training run restores onto a TP mesh and
+    vice versa (tested in tests/test_checkpoint.py).
+    """
+    wait_for_checkpoints()
+    import jax
+
+    path = Path(directory).absolute() / str(step)
+    abstract = jax.tree.map(
+        lambda t, s: jax.ShapeDtypeStruct(
+            np.shape(t), jnp.result_type(t), sharding=s
+        ),
+        template,
+        shardings,
+    )
+    return _checkpointer().restore(path, target=abstract)
+
+
 def latest_step(directory: str | os.PathLike) -> int | None:
     """Highest numbered checkpoint subdirectory, or None."""
     d = Path(directory)

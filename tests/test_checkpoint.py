@@ -132,3 +132,50 @@ def test_metric_logger_roundtrip(tmp_path):
     assert len(recs) == 2
     assert recs[0]["loss"] == 1.5
     assert recs[1]["loss"] == 0.5
+
+
+def test_restore_checkpoint_sharded_tp_layout(tmp_path, cpu_devices):
+    """Save from a single-device (replicated) run, restore directly INTO the
+    fc6/fc7 TP layout on a mesh — values identical, leaves laid out per
+    tp_shardings with no host-side full-size materialize step. The save and
+    restore topologies are independent (production restart contract)."""
+    from iterative_inference_segm_tpu.parallel import make_mesh
+    from iterative_inference_segm_tpu.parallel.tp import tp_shardings
+    from iterative_inference_segm_tpu.utils.checkpoint import (
+        restore_checkpoint_sharded,
+    )
+
+    params = init_fcn8(jax.random.PRNGKey(0), n_classes=3, fc_channels=8)
+    save_checkpoint(tmp_path / "ck", 3, jax.device_get(params))
+
+    mesh = make_mesh(("data", "model"), (4, 2))
+    shardings = tp_shardings(params, mesh)
+    restored = restore_checkpoint_sharded(tmp_path / "ck", 3, params, shardings)
+
+    _tree_equal(restored, params)
+    assert restored["fc6"]["w"].sharding == shardings["fc6"]["w"]
+    assert restored["fc7"]["w"].sharding == shardings["fc7"]["w"]
+    # a replicated leaf really is replicated on the mesh
+    assert restored["conv1_1"]["w"].sharding == shardings["conv1_1"]["w"]
+
+
+def test_restore_checkpoint_sharded_from_sharded_save(tmp_path, cpu_devices):
+    """The inverse direction: a TP-sharded state checkpoints and restores
+    replicated (topology-change restart, e.g. scaling in)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from iterative_inference_segm_tpu.parallel import make_mesh
+    from iterative_inference_segm_tpu.parallel.tp import shard_params_tp
+    from iterative_inference_segm_tpu.utils.checkpoint import (
+        restore_checkpoint_sharded,
+    )
+
+    params = init_fcn8(jax.random.PRNGKey(1), n_classes=3, fc_channels=8)
+    mesh = make_mesh(("data", "model"), (4, 2))
+    sharded = shard_params_tp(params, mesh)
+    save_checkpoint(tmp_path / "ck", 0, sharded)
+
+    repl = jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+    restored = restore_checkpoint_sharded(tmp_path / "ck", 0, params, repl)
+    _tree_equal(restored, params)
+    assert restored["fc6"]["w"].sharding.is_fully_replicated
