@@ -49,11 +49,20 @@ class Predictor:
         input_scale: float = 1.0,
         dae_kwargs: Mapping | None = None,
         mesh=None,
+        pp_mesh=None,
+        pp_microbatches: int = 2,
     ):
         """``dae_arch`` selects the score network the general engine serves:
         'dae' (the TPU score-fusion flagship), 'mirror' (the reference-
         parity variant, models/dae_mirror.py), or 'contextmod'. The half
-        engine is 'dae'-only (the pooled iteration needs the stem layout)."""
+        engine is 'dae'-only (the pooled iteration needs the stem layout).
+
+        ``pp_mesh`` serves through the 2-stage pipeline (parallel/pp.py:
+        FCN forward | pooled refinement) instead of the single-program
+        path: a mesh with a size-2 'stage' axis (plus an optional 'data'
+        axis for composed DP), ``pp_microbatches`` in flight per compiled
+        batch. Requires engine='half' with a DAE; mutually exclusive with
+        ``mesh`` (whose DP eval sharding the pipeline subsumes)."""
         self.cfg = dataset
         self.batch_size = batch_size
         self._mesh = mesh
@@ -83,6 +92,48 @@ class Predictor:
         score_apply = score_apply_fn(dae_arch)  # validates the arch name
         if engine == "half" and dae_arch != "dae":
             raise ValueError("engine='half' serves dae_arch='dae' only")
+
+        if pp_mesh is not None:
+            if mesh is not None:
+                raise ValueError(
+                    "pass either mesh (DP eval sharding) or pp_mesh (pipeline)"
+                )
+            if engine != "half" or not refine:
+                raise ValueError(
+                    "pp_mesh pipelines the pooled-engine flagship: requires "
+                    "engine='half' and a DAE"
+                )
+            from iterative_inference_segm_tpu.parallel.pp import (
+                make_pp_flagship,
+                merge_microbatches,
+                split_microbatches,
+            )
+
+            pp_batch_axis = "data" if "data" in pp_mesh.shape else None
+            pp_dp = pp_mesh.shape.get("data", 1)
+            if batch_size % (pp_microbatches * pp_dp):
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by "
+                    f"pp_microbatches {pp_microbatches} x DP width {pp_dp}"
+                )
+            pp_fwd = make_pp_flagship(
+                pp_mesh, eps=eps, num_steps=num_steps, h_taps=h_taps,
+                depth=dae_kwargs.get("depth", 4), compute_dtype=compute_dtype,
+                encoder=dae_kwargs.get("encoder", "pool"), mode=mode,
+                batch_axis=pp_batch_axis,
+            )
+
+            def _predict_pp(fcn_params, dae_params, x):
+                if normalize:
+                    x = normalize_image(x, dataset, input_scale=input_scale)
+                _, yk = pp_fwd(
+                    fcn_params, dae_params, split_microbatches(x, pp_microbatches)
+                )
+                y = merge_microbatches(yk)
+                return jnp.argmax(y, axis=-1).astype(jnp.int32), y.astype(jnp.float32)
+
+            self._predict = jax.jit(_predict_pp)
+            return
 
         def _predict(fcn_params, dae_params, x):
             if normalize:

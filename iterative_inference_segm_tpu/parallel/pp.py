@@ -293,7 +293,7 @@ def make_pp_flagship(
 
     Returns ``forward(fcn_params, dae_params, images) -> (y0, y_k)`` where
     ``images`` is (M, Bm, H, W, 3) — microbatches streaming through the two
-    stages (``split_microbatches`` to build). The '{stage_axis}' mesh axis
+    stages (``split_microbatches`` to build). The ``stage_axis`` mesh axis
     must have size 2 (the model's natural two-subnetwork split); compose
     with DP over ``batch_axis``.
     """

@@ -178,3 +178,44 @@ def test_predictor_serves_mirror_arch(tmp_path):
 
     with pytest.raises(ValueError, match="dae_arch"):
         Predictor(fcn, dae, dae_arch="mirror", engine="half")
+
+
+def test_predictor_pp_matches_half_engine(params):
+    """pp_mesh serving (2-stage pipeline + composed DP) returns the exact
+    probabilities of the single-program half engine in f32 — the serving
+    seam of parallel/pp.py."""
+    import jax.numpy as jnp
+
+    from iterative_inference_segm_tpu.parallel import make_mesh
+
+    fcn, _ = params
+    dae1 = init_dae(jax.random.PRNGKey(2), n_classes=4, h_specs={"pool4": 512},
+                    depth=3, stem_pool=1, widths=(8, 16, 32))
+    common = dict(dataset=TINY, batch_size=4, num_steps=2, eps=0.3,
+                  engine="half", compute_dtype=jnp.float32,
+                  dae_kwargs={"depth": 3})
+    seq = Predictor(fcn, dae1, **common)
+
+    mesh = make_mesh(("data", "stage"), (2, 2), devices=jax.devices()[:4])
+    pp = Predictor(fcn, dae1, pp_mesh=mesh, pp_microbatches=2, **common)
+
+    imgs = np.random.default_rng(3).random((6, 48, 64, 3)).astype(np.float32)
+    lab_seq, pr_seq = seq.predict(imgs, return_probs=True)
+    lab_pp, pr_pp = pp.predict(imgs, return_probs=True)
+    np.testing.assert_array_equal(lab_pp, lab_seq)
+    np.testing.assert_allclose(pr_pp, pr_seq, rtol=1e-5, atol=1e-6)
+
+
+def test_predictor_pp_validation(params):
+    from iterative_inference_segm_tpu.parallel import make_mesh
+
+    fcn, dae = params
+    mesh = make_mesh(("stage",), (2,), devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="engine='half'"):
+        Predictor(fcn, dae, dataset=TINY, pp_mesh=mesh, num_steps=2)
+    dae1 = init_dae(jax.random.PRNGKey(2), n_classes=4, h_specs={"pool4": 512},
+                    depth=3, stem_pool=1, widths=(8, 16, 32))
+    with pytest.raises(ValueError, match="divisible"):
+        Predictor(fcn, dae1, dataset=TINY, pp_mesh=mesh, engine="half",
+                  num_steps=2, batch_size=3, pp_microbatches=2,
+                  dae_kwargs={"depth": 3})
