@@ -9,6 +9,7 @@ reverse pipeline).
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -211,3 +212,42 @@ def test_pp_flagship_grad_matches_sequential(cpu_devices):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6
         )
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"stem_pool": 2},            # quarter engine through the pipeline
+        {"mode": "energy"},          # grad-through-the-DAE update per step
+        {"encoder": "stride"},       # strided-conv encoder (no core skip)
+    ],
+    ids=["quarter", "energy", "stride"],
+)
+def test_pp_flagship_engine_variants_match_sequential(cpu_devices, kw):
+    """Every pooled-engine variant the flagship serves (quarter iteration
+    scale, energy mode, stride encoder) routes through the same
+    halfres_refine inside the pipeline — each must equal its sequential
+    counterpart."""
+    stem_pool = kw.pop("stem_pool", 1)
+    fcn = init_fcn8(jax.random.PRNGKey(0), n_classes=C, fc_channels=16)
+    dae = init_dae(
+        jax.random.PRNGKey(1), n_classes=C,
+        h_specs={"pool4": DAE_H_CHANNELS["pool4"]}, depth=3,
+        stem_pool=stem_pool,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 64, 64, 3))
+    seq = flagship_forward_fn(
+        num_steps=2, depth=3, eps=0.1, compute_dtype=jnp.float32,
+        fold_tail=None, **kw,
+    )
+    _, yk_ref = jax.jit(seq)(fcn, dae, x)
+
+    mesh = make_mesh(("stage",), (2,), devices=jax.devices()[:2])
+    pp = make_pp_flagship(
+        mesh, eps=0.1, num_steps=2, depth=3, compute_dtype=jnp.float32, **kw
+    )
+    _, yk = jax.jit(pp)(fcn, dae, split_microbatches(x, 2))
+    np.testing.assert_allclose(
+        np.asarray(merge_microbatches(yk)), np.asarray(yk_ref),
+        rtol=1e-5, atol=1e-6,
+    )
