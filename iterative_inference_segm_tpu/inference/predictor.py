@@ -109,6 +109,10 @@ class Predictor:
                 split_microbatches,
             )
 
+            if pp_microbatches < 1:
+                raise ValueError(
+                    f"pp_microbatches must be >= 1; got {pp_microbatches}"
+                )
             pp_batch_axis = "data" if "data" in pp_mesh.shape else None
             pp_dp = pp_mesh.shape.get("data", 1)
             if batch_size % (pp_microbatches * pp_dp):

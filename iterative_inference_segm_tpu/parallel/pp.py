@@ -28,14 +28,18 @@ TPU-native formulation — no NCCL send/recv loops, no per-stage processes:
   an ``out_specs`` entry over the stage axis, so collecting them costs no
   collective (callers slice the last stage's shard).
 
-Wire-format contract: every stage consumes and produces the SAME pytree
-structure/shapes (the "wire") — SPMD programs cannot permute
-shape-heterogeneous buffers. Heterogeneous boundaries are expressed as a
-superset wire (unused fields pass through as zeros); the flagship split
-below carries {image, y0, h-taps, yK} and each stage fills its part. The
-passthrough fields cost ppermute bandwidth — acceptable here because the
-wire is dominated by the class maps, and ICI is not the bottleneck at
-CNN activation sizes.
+Data-flow contract (``make_gpipe``): the per-microbatch INPUT stream and
+the inter-stage WIRE are separate pytrees. The stream is replicated across
+the stage axis (sharded only over the optional DP axis), so stage-0 inputs
+never ride the ppermute; only the wire — the activations the stages
+actually exchange, a SINGLE fixed pytree format because SPMD programs
+cannot permute shape-heterogeneous buffers — crosses ICI each tick. Every
+stage function receives both ``(wire, inp)``: stage 0 reads ``inp`` and
+ignores its (zero) wire, later stages read the wire and may consult
+``inp``'s static shape. ``make_gpipe_stacked`` (homogeneous layers) keeps
+the classic uniform format where the stream IS the wire format and the
+combinator injects it at stage 0 — there is no dead payload in that case
+by construction.
 
 Composes with DP: build the mesh with both axes, e.g.
 ``make_mesh(('data', 'stage'), (2, 2))``, pass ``batch_axis='data'``, and
@@ -78,30 +82,43 @@ def merge_microbatches(tree):
     return jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), tree)
 
 
-def _wire_specs(wires, batch_axis: str | None, *, stage_axis: str | None = None):
-    """Per-leaf PartitionSpecs for (M, Bm, ...) wire leaves.
-
-    Input wires: ``P(None, batch_axis)`` (microbatch dim unsharded, the
-    per-microbatch batch dim over the DP axis when composing). With
-    ``stage_axis`` set, specs for the EMITTED stream — one extra leading
-    singleton stage dim over the pipeline axis: ``P(stage, None, batch)``.
-    """
+def _specs(
+    tree,
+    batch_axis: str | None,
+    *,
+    lead_axes: tuple[str | None, ...],
+    validate: bool = True,
+):
+    """Per-leaf PartitionSpecs: ``lead_axes`` for the leading dims, then the
+    per-microbatch batch dim over ``batch_axis`` (the DP composition).
+    ``validate=False`` for OUT specs built from an input-shaped template
+    (the emitted leaves carry extra stage/tick dims the template lacks)."""
+    lead = len(lead_axes)
 
     def spec(a):
-        if jnp.ndim(a) < 2:
+        if validate and jnp.ndim(a) < lead + 1:
             raise ValueError(
-                f"wire leaves need a (microbatch, batch, ...) layout; got rank {jnp.ndim(a)}"
+                f"pipeline leaves need at least {lead + 1} dims "
+                f"(…, batch, features); got rank {jnp.ndim(a)}"
             )
-        if stage_axis is None:
-            return P(None, batch_axis)
-        return P(stage_axis, None, batch_axis)
+        return P(*lead_axes, batch_axis)
 
-    return jax.tree.map(spec, wires)
+    return jax.tree.map(spec, tree)
 
 
-def _gpipe_spmd(
+def _check_stage_axis(mesh: Mesh, stage_axis: str):
+    if stage_axis not in mesh.shape:
+        raise ValueError(
+            f"mesh {dict(mesh.shape)} has no '{stage_axis}' axis — pipeline "
+            f"meshes need one, e.g. make_mesh(('data', '{stage_axis}'), (n, 2))"
+        )
+    return mesh.shape[stage_axis]
+
+
+def _gpipe_schedule(
     run_stage: Callable,
-    wires,
+    stream,
+    wire0,
     *,
     stage_axis: str,
     num_stages: int,
@@ -109,15 +126,15 @@ def _gpipe_spmd(
 ):
     """The per-device GPipe schedule (runs inside shard_map).
 
-    ``run_stage(wire) -> wire`` already dispatches on this device's stage
-    (switch or local-params closure). ``wires``: (M, Bm, ...) leaves.
-    Returns the per-device emit stream with a leading singleton stage dim,
+    ``run_stage(wire, inp) -> wire`` already dispatches on this device's
+    stage. ``stream``: (M, Bm, ...) leaves, replicated over the stage axis;
+    ``wire0``: the zero initial wire, (Bm, ...) leaves. Returns the
+    per-device emit stream with a leading singleton stage dim,
     (1, T, Bm, ...), for an out_spec over ``stage_axis``.
     """
     s = num_stages
     m = num_microbatches
     t_total = m + s - 1
-    idx = lax.axis_index(stage_axis)
 
     def pad(a):
         if t_total == m:
@@ -125,25 +142,21 @@ def _gpipe_spmd(
         z = jnp.zeros((t_total - m,) + a.shape[1:], a.dtype)
         return jnp.concatenate([a, z], axis=0)
 
-    stream = jax.tree.map(pad, wires)
-    zero_wire = jax.tree.map(lambda a: jnp.zeros(a.shape[1:], a.dtype), wires)
-
+    stream = jax.tree.map(pad, stream)
     perm = [(i, i + 1) for i in range(s - 1)]
 
     def tick(carry, inp):
-        # stage 0 reads the next microbatch from the stream; every other
-        # stage reads the wire ppermuted from its predecessor last tick
-        wire_in = jax.tree.map(
-            lambda a, b: jnp.where(idx == 0, a, b), inp, carry
-        )
-        out = run_stage(wire_in)
+        out = run_stage(carry, inp)
+        # hand each stage's wire to its successor; stage 0 receives zeros
+        # (ppermute semantics for unlisted destinations), matching its role
+        # as the stream reader
         if perm:
             nxt = jax.tree.map(lambda a: lax.ppermute(a, stage_axis, perm), out)
         else:
             nxt = out
         return nxt, out
 
-    _, emits = lax.scan(tick, zero_wire, stream)
+    _, emits = lax.scan(tick, wire0, stream)
     return jax.tree.map(lambda a: a[None], emits)
 
 
@@ -162,37 +175,43 @@ def make_gpipe(
     stage_axis: str = "stage",
     batch_axis: str | None = None,
 ) -> Callable:
-    """Heterogeneous-stage pipeline: ``pipeline(stage_params, wires) -> wires``.
+    """Heterogeneous-stage pipeline:
+    ``pipeline(stage_params, stream, wire0) -> wires``.
 
-    ``stage_fns[i](stage_params[i], wire) -> wire`` — all stages share the
-    wire pytree format. ``stage_params`` is a tuple of per-stage pytrees,
+    ``stage_fns[i](stage_params[i], wire, inp) -> wire`` — ``inp`` is the
+    per-microbatch stream element (stage 0's input; later stages may use
+    its static shape), ``wire`` the inter-stage pytree every stage emits in
+    the same format. ``stage_params`` is a tuple of per-stage pytrees,
     replicated across the mesh (``lax.switch`` traces every branch on every
     device, so heterogeneous params cannot be stage-resident; use
     ``make_gpipe_stacked`` for homogeneous stages when per-stage parameter
-    residency is the point). ``wires`` leaves are (M, Bm, ...), the
-    microbatch batch dim optionally sharded over ``batch_axis`` (DP×PP).
-    Returns wires of the same layout holding the last stage's outputs.
+    residency is the point). ``stream`` leaves are (M, Bm, ...); ``wire0``
+    is the zero initial wire with (Bm, ...) leaves — build with
+    ``jnp.zeros`` from the stage-0 output shapes. The microbatch batch dim
+    of both is optionally sharded over ``batch_axis`` (DP×PP). Returns
+    wires of (M, Bm, ...) layout holding the last stage's outputs.
     """
-    num_stages = mesh.shape[stage_axis]
+    num_stages = _check_stage_axis(mesh, stage_axis)
     if len(stage_fns) != num_stages:
         raise ValueError(
             f"{len(stage_fns)} stage fns for a {num_stages}-wide '{stage_axis}' axis"
         )
 
-    def pipeline(stage_params, wires):
-        m = jax.tree.leaves(wires)[0].shape[0]
+    def pipeline(stage_params, stream, wire0):
+        m = jax.tree.leaves(stream)[0].shape[0]
 
-        def spmd(stage_params, wires):
-            def run_stage(wire):
+        def spmd(stage_params, stream, wire0):
+            def run_stage(wire, inp):
                 branches = [
-                    lambda w, i=i: stage_fns[i](stage_params[i], w)
+                    lambda w, x, i=i: stage_fns[i](stage_params[i], w, x)
                     for i in range(num_stages)
                 ]
-                return lax.switch(lax.axis_index(stage_axis), branches, wire)
+                return lax.switch(lax.axis_index(stage_axis), branches, wire, inp)
 
-            return _gpipe_spmd(
+            return _gpipe_schedule(
                 run_stage,
-                wires,
+                stream,
+                wire0,
                 stage_axis=stage_axis,
                 num_stages=num_stages,
                 num_microbatches=m,
@@ -201,10 +220,14 @@ def make_gpipe(
         stacked = shard_map(
             spmd,
             mesh=mesh,
-            in_specs=(P(), _wire_specs(wires, batch_axis)),
-            out_specs=_wire_specs(wires, batch_axis, stage_axis=stage_axis),
+            in_specs=(
+                P(),
+                _specs(stream, batch_axis, lead_axes=(None,)),
+                _specs(wire0, batch_axis, lead_axes=()),
+            ),
+            out_specs=_specs(wire0, batch_axis, lead_axes=(stage_axis, None), validate=False),
             check_vma=False,
-        )(stage_params, wires)
+        )(stage_params, stream, wire0)
         return _collect_last_stage(
             stacked, num_stages=num_stages, num_microbatches=m
         )
@@ -219,17 +242,21 @@ def make_gpipe_stacked(
     stage_axis: str = "stage",
     batch_axis: str | None = None,
 ) -> Callable:
-    """Homogeneous-stage pipeline with per-stage parameter residency.
+    """Homogeneous-stage pipeline with per-stage parameter residency:
+    ``pipeline(stage_params, wires) -> wires``.
 
-    ``stage_fn(params_i, wire) -> wire`` is ONE function; ``stage_params``
-    leaves carry a leading stage dim (S, ...) and are sharded over
-    ``stage_axis`` — each device materializes only its own stage's slice
-    (the memory split that makes PP worth running: a model too big for one
-    chip's HBM lives S-ways sharded). The scan-over-layers dual: where
-    ``lax.scan`` runs stacked layers in time on one chip, this runs them in
-    space across chips with microbatches in flight.
+    ``stage_fn(params_i, wire) -> wire`` is ONE function over a uniform
+    format (the stream IS the wire format — the combinator injects each
+    microbatch at stage 0, so unlike ``make_gpipe`` there is no separate
+    stream pytree and no dead ppermute payload by construction).
+    ``stage_params`` leaves carry a leading stage dim (S, ...) and are
+    sharded over ``stage_axis`` — each device materializes only its own
+    stage's slice (the memory split that makes PP worth running: a model
+    too big for one chip's HBM lives S-ways sharded). The scan-over-layers
+    dual: where ``lax.scan`` runs stacked layers in time on one chip, this
+    runs them in space across chips with microbatches in flight.
     """
-    num_stages = mesh.shape[stage_axis]
+    num_stages = _check_stage_axis(mesh, stage_axis)
 
     def pipeline(stage_params, wires):
         m = jax.tree.leaves(wires)[0].shape[0]
@@ -241,13 +268,20 @@ def make_gpipe_stacked(
 
         def spmd(stage_params, wires):
             local = jax.tree.map(lambda a: a[0], stage_params)
+            idx = lax.axis_index(stage_axis)
 
-            def run_stage(wire):
-                return stage_fn(local, wire)
+            def run_stage(wire, inp):
+                # uniform format: stage 0 swaps in the streamed microbatch
+                wire_in = jax.tree.map(
+                    lambda a, b: jnp.where(idx == 0, a, b), inp, wire
+                )
+                return stage_fn(local, wire_in)
 
-            return _gpipe_spmd(
+            wire0 = jax.tree.map(lambda a: jnp.zeros(a.shape[1:], a.dtype), wires)
+            return _gpipe_schedule(
                 run_stage,
                 wires,
+                wire0,
                 stage_axis=stage_axis,
                 num_stages=num_stages,
                 num_microbatches=m,
@@ -256,8 +290,8 @@ def make_gpipe_stacked(
         stacked = shard_map(
             spmd,
             mesh=mesh,
-            in_specs=(P(stage_axis), _wire_specs(wires, batch_axis)),
-            out_specs=_wire_specs(wires, batch_axis, stage_axis=stage_axis),
+            in_specs=(P(stage_axis), _specs(wires, batch_axis, lead_axes=(None,))),
+            out_specs=_specs(wires, batch_axis, lead_axes=(stage_axis, None), validate=False),
             check_vma=False,
         )(stage_params, wires)
         return _collect_last_stage(
@@ -289,7 +323,10 @@ def make_pp_flagship(
     taps); stage 1 runs the K-step pooled-scale refinement and the full-res
     rectification via the SAME ``halfres_refine`` path every other surface
     uses (inference/fused.py) — the pipelined numerics are the sequential
-    flagship's numerics by construction (tested in tests/test_pp.py).
+    flagship's numerics by construction (tested in tests/test_pp.py). The
+    permuted wire carries only what stage 1 consumes — {y0, h-taps, yK};
+    the image stream stays out of the ppermute (``make_gpipe`` data-flow
+    contract).
 
     Returns ``forward(fcn_params, dae_params, images) -> (y0, y_k)`` where
     ``images`` is (M, Bm, H, W, 3) — microbatches streaming through the two
@@ -297,7 +334,7 @@ def make_pp_flagship(
     must have size 2 (the model's natural two-subnetwork split); compose
     with DP over ``batch_axis``.
     """
-    if mesh.shape[stage_axis] != 2:
+    if _check_stage_axis(mesh, stage_axis) != 2:
         raise ValueError(
             f"the flagship pipeline has 2 stages; mesh axis '{stage_axis}' "
             f"has size {mesh.shape[stage_axis]}"
@@ -309,23 +346,25 @@ def make_pp_flagship(
 
     probs_dtype = state_dtype or compute_dtype
 
-    def stage0(fcn_params, wire):
-        y0, h = fcn_apply(
+    def fcn_fwd(fcn_params, x):
+        return fcn_apply(
             fcn_params,
-            wire["x"],
+            x,
             return_features=h_taps,
             compute_dtype=compute_dtype,
             probs_dtype=probs_dtype,
         )
+
+    def stage0(fcn_params, wire, x):
+        y0, h = fcn_fwd(fcn_params, x)
         return {**wire, "y0": y0, "h": h}
 
-    def stage1(dae_params, wire):
-        in_hw = (wire["x"].shape[1], wire["x"].shape[2])
+    def stage1(dae_params, wire, x):
         y_k = halfres_refine(
             dae_params,
             wire["y0"],
             wire["h"],
-            in_hw,
+            (x.shape[1], x.shape[2]),
             eps=eps,
             num_steps=num_steps,
             depth=depth,
@@ -346,30 +385,17 @@ def make_pp_flagship(
             raise ValueError(
                 f"images must be (M, Bm, H, W, 3) microbatches; got {images.shape}"
             )
-        mb = images[0]
-        y0_s, h_s = jax.eval_shape(
-            lambda p, x: fcn_apply(
-                p,
-                x,
-                return_features=h_taps,
-                compute_dtype=compute_dtype,
-                probs_dtype=probs_dtype,
-            ),
-            fcn_params,
-            mb,
-        )
-        m = images.shape[0]
+        y0_s, h_s = jax.eval_shape(fcn_fwd, fcn_params, images[0])
 
-        def zeros_mb(s):
-            return jnp.zeros((m,) + s.shape, s.dtype)
+        def zeros_like_struct(s):
+            return jnp.zeros(s.shape, s.dtype)
 
-        wires = {
-            "x": images,
-            "y0": zeros_mb(y0_s),
-            "h": jax.tree.map(zeros_mb, h_s),
-            "yk": zeros_mb(y0_s),
+        wire0 = {
+            "y0": zeros_like_struct(y0_s),
+            "h": jax.tree.map(zeros_like_struct, h_s),
+            "yk": zeros_like_struct(y0_s),
         }
-        out = pipeline((fcn_params, dae_params), wires)
+        out = pipeline((fcn_params, dae_params), images, wire0)
         return out["y0"], out["yk"]
 
     return forward

@@ -185,12 +185,18 @@ def main(argv=None) -> int:
 
     from iterative_inference_segm_tpu.parallel.mesh import mesh_from_flag
 
-    mesh = mesh_from_flag(args.devices, batch_size=args.batch_size)
+    # with --pp, --devices sizes the pipeline mesh below; the DP eval path
+    # (and its own batch-divisibility rule) does not apply
+    mesh = None if args.pp else mesh_from_flag(args.devices, batch_size=args.batch_size)
 
     pp_mesh = pp_batch_axis = None
     if args.pp:
         from iterative_inference_segm_tpu.parallel.mesh import make_mesh
 
+        if args.pp_microbatches < 1:
+            raise SystemExit(
+                f"--pp-microbatches must be >= 1; got {args.pp_microbatches}"
+            )
         avail = jax.devices()
         n_pp = (
             len(avail) if args.devices == "auto"
@@ -211,8 +217,6 @@ def main(argv=None) -> int:
                 f"--batch-size {args.batch_size} not divisible by "
                 f"--pp-microbatches {args.pp_microbatches} x DP width {pp_dp}"
             )
-        # the pipeline does its own sharding; the DP eval-put path stands down
-        mesh = None
 
     if args.packed:
         import dataclasses

@@ -32,13 +32,22 @@ def _two_stages():
     k0 = jax.random.normal(jax.random.PRNGKey(0), (4, 4))
     k1 = jax.random.normal(jax.random.PRNGKey(1), (4, 4))
 
-    def s0(p, w):
-        return {**w, "a": jnp.tanh(w["a"] @ p)}
+    # make_gpipe data-flow contract: stage 0 reads the stream element,
+    # later stages read the permuted wire
+    def s0(p, w, x):
+        return {**w, "a": jnp.tanh(x["a"] @ p)}
 
-    def s1(p, w):
+    def s1(p, w, x):
         return {**w, "a": w["a"] @ p + 1.0}
 
-    return (k0, k1), (s0, s1)
+    def seq(params, x):
+        return jnp.tanh(x @ params[0]) @ params[1] + 1.0
+
+    return (k0, k1), (s0, s1), seq
+
+
+def _wire0(x):
+    return {"a": jnp.zeros(x.shape[1:], x.dtype)}
 
 
 def test_microbatch_split_merge_roundtrip(cpu_devices):
@@ -49,36 +58,57 @@ def test_microbatch_split_merge_roundtrip(cpu_devices):
 
 
 def test_gpipe_heterogeneous_matches_sequential(cpu_devices):
-    params, (s0, s1) = _two_stages()
+    params, (s0, s1), seq = _two_stages()
     mesh = make_mesh(("stage",), (2,), devices=jax.devices()[:2])
     pipe = make_gpipe((s0, s1), mesh)
     x = jax.random.normal(jax.random.PRNGKey(2), (4, 3, 4))
-    ref = s1(params[1], s0(params[0], {"a": x}))["a"]
-    out = jax.jit(pipe)(params, {"a": x})
-    np.testing.assert_allclose(np.asarray(out["a"]), np.asarray(ref), rtol=1e-5)
+    out = jax.jit(pipe)(params, {"a": x}, _wire0(x))
+    np.testing.assert_allclose(
+        np.asarray(out["a"]), np.asarray(seq(params, x)), rtol=1e-5
+    )
 
 
 def test_gpipe_single_microbatch_and_many(cpu_devices):
     """The schedule is valid at every bubble ratio: M=1 (pure bubble) and
     M >> S both reduce to the sequential composition."""
-    params, (s0, s1) = _two_stages()
+    params, (s0, s1), seq = _two_stages()
     mesh = make_mesh(("stage",), (2,), devices=jax.devices()[:2])
     pipe = make_gpipe((s0, s1), mesh)
     for m in (1, 7):
         x = jax.random.normal(jax.random.PRNGKey(m), (m, 2, 4))
-        ref = s1(params[1], s0(params[0], {"a": x}))["a"]
-        out = jax.jit(pipe)(params, {"a": x})
-        np.testing.assert_allclose(np.asarray(out["a"]), np.asarray(ref), rtol=1e-5)
+        out = jax.jit(pipe)(params, {"a": x}, _wire0(x))
+        np.testing.assert_allclose(
+            np.asarray(out["a"]), np.asarray(seq(params, x)), rtol=1e-5
+        )
 
 
 def test_gpipe_stage_count_mismatch_raises(cpu_devices):
-    params, (s0, s1) = _two_stages()
+    params, (s0, s1), _ = _two_stages()
     mesh = make_mesh(("stage",), (4,), devices=jax.devices()[:4])
     try:
         make_gpipe((s0, s1), mesh)
         raise AssertionError("expected ValueError on 2 fns over a 4-wide axis")
     except ValueError as e:
         assert "stage" in str(e)
+
+
+def test_gpipe_missing_stage_axis_raises(cpu_devices):
+    """Passing a plain DP mesh (no 'stage' axis) — the likeliest misuse of
+    the pp API — must raise a self-explanatory ValueError, not a KeyError."""
+    from iterative_inference_segm_tpu.parallel import make_pp_flagship
+
+    params, (s0, s1), _ = _two_stages()
+    mesh = make_mesh(("data",), devices=jax.devices()[:2])
+    for build in (
+        lambda: make_gpipe((s0, s1), mesh),
+        lambda: make_gpipe_stacked(s0, mesh),
+        lambda: make_pp_flagship(mesh, eps=0.1, num_steps=2),
+    ):
+        try:
+            build()
+            raise AssertionError("expected ValueError on a mesh without 'stage'")
+        except ValueError as e:
+            assert "no 'stage' axis" in str(e)
 
 
 def test_gpipe_stacked_matches_sequential(cpu_devices):
