@@ -281,3 +281,43 @@ def test_pp_flagship_engine_variants_match_sequential(cpu_devices, kw):
         np.asarray(merge_microbatches(yk)), np.asarray(yk_ref),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_gpipe_stacked_composes_with_dp(cpu_devices):
+    """Stage-stacked params under a ('data','stage') mesh: per-stage
+    residency and batch sharding at once."""
+    mesh = make_mesh(("data", "stage"), (2, 2), devices=jax.devices()[:4])
+    ks = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 4))
+
+    def stage(p, w):
+        return {**w, "a": jnp.tanh(w["a"] @ p)}
+
+    def seq(ps, a):
+        for i in range(2):
+            a = jnp.tanh(a @ ps[i])
+        return a
+
+    pipe = make_gpipe_stacked(stage, mesh, batch_axis="data")
+    x = jax.random.normal(jax.random.PRNGKey(4), (3, 4, 4))  # M=3, Bm=4
+    out = jax.jit(pipe)(ks, {"a": x})
+    np.testing.assert_allclose(
+        np.asarray(out["a"]), np.asarray(seq(ks, x)), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_pp_flagship_bf16_matches_sequential(cpu_devices):
+    """The benched dtype path (bf16 compute/state, folded tail) through the
+    pipeline is BIT-identical to the sequential flagship: same ops in the
+    same order, only the device placement differs."""
+    fcn, dae = _flagship_pair()
+    x = jax.random.normal(jax.random.PRNGKey(6), (4, 64, 64, 3))
+    seq = flagship_forward_fn(num_steps=3, depth=3, eps=0.1)  # bf16 defaults
+    _, yk_ref = jax.jit(seq)(fcn, dae, x)
+
+    mesh = make_mesh(("stage",), (2,), devices=jax.devices()[:2])
+    pp = make_pp_flagship(mesh, eps=0.1, num_steps=3, depth=3)
+    _, yk = jax.jit(pp)(fcn, dae, split_microbatches(x, 2))
+    np.testing.assert_array_equal(
+        np.asarray(merge_microbatches(yk).astype(jnp.float32)),
+        np.asarray(yk_ref.astype(jnp.float32)),
+    )
