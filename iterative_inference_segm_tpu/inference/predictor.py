@@ -57,11 +57,12 @@ class Predictor:
         parity variant, models/dae_mirror.py), or 'contextmod'. The half
         engine is 'dae'-only (the pooled iteration needs the stem layout).
 
-        ``pp_mesh`` serves through the 2-stage pipeline (parallel/pp.py:
-        FCN forward | pooled refinement) instead of the single-program
-        path: a mesh with a size-2 'stage' axis (plus an optional 'data'
-        axis for composed DP), ``pp_microbatches`` in flight per compiled
-        batch. Requires engine='half' with a DAE; mutually exclusive with
+        ``pp_mesh`` serves through the stage pipeline (parallel/pp.py)
+        instead of the single-program path: a mesh with a 'stage' axis of
+        size 2 (FCN forward | pooled refinement) or 3 (VGG backbone |
+        FCN-8 head | refinement), plus an optional 'data' axis for
+        composed DP; ``pp_microbatches`` in flight per compiled batch.
+        Requires engine='half' with a DAE; mutually exclusive with
         ``mesh`` (whose DP eval sharding the pipeline subsumes)."""
         self.cfg = dataset
         self.batch_size = batch_size

@@ -118,7 +118,39 @@ def fcn8_apply(
     always f32). The throughput pipeline passes bf16 so the full-res
     probability map is written once at the refinement carry's dtype instead
     of materializing f32 and re-casting.
+
+    Factored as ``fcn8_backbone`` (VGG stack through pool5) composed with
+    ``fcn8_head`` (fc6..softmax + skip-fusion decoder) — the model's
+    natural internal seam, also used as a pipeline-parallel stage boundary
+    (parallel/pp.py 3-stage split).
     """
+    pools, feats = fcn8_backbone(
+        params, x, return_features=return_features, compute_dtype=compute_dtype
+    )
+    probs, head_feats = fcn8_head(
+        params,
+        pools,
+        (x.shape[1], x.shape[2]),
+        return_features=return_features,
+        dropout_rng=dropout_rng,
+        dropout_rate=dropout_rate,
+        probs_dtype=probs_dtype,
+    )
+    feats.update(head_feats)
+    return probs, feats
+
+
+def fcn8_backbone(
+    params: dict,
+    x: jax.Array,
+    *,
+    return_features: Sequence[str] = (),
+    compute_dtype=jnp.float32,
+) -> tuple[dict, dict]:
+    """The VGG16 conv stack through pool5 (the backbone half of
+    ``fcn8_apply``). Returns ``(pools, feats)``: ``pools`` always holds the
+    'pool3'/'pool4'/'pool5' maps the head's skip fusions need (at
+    compute_dtype), ``feats`` the requested backbone taps."""
     feats: dict = {}
     want = set(return_features)
     h = x.astype(compute_dtype)
@@ -140,10 +172,27 @@ def fcn8_apply(
         p = params[name]
         h = conv2d(h, p["w"], p["b"], padding="SAME")
         h = jax.nn.relu(h)
+    return {k: pools[k] for k in ("pool3", "pool4", "pool5")}, feats
 
-    # the skip fusions always need pool3/pool4, requested or not
-    pool3 = pools["pool3"]
-    pool4 = pools["pool4"]
+
+def fcn8_head(
+    params: dict,
+    pools: dict,
+    in_hw: tuple[int, int],
+    *,
+    return_features: Sequence[str] = (),
+    dropout_rng: jax.Array | None = None,
+    dropout_rate: float = 0.5,
+    probs_dtype=jnp.float32,
+) -> tuple[jax.Array, dict]:
+    """fc6..softmax + skip-fusion decoder from the backbone's pool maps
+    (the head half of ``fcn8_apply``). ``in_hw`` is the input (H, W) the
+    decoder output is cropped back to; the compute dtype follows the pool
+    maps'. Returns ``(probs, feats)`` with the head taps
+    ('fc7'/'score'/'probs')."""
+    feats: dict = {}
+    want = set(return_features)
+    pool3, pool4, h = pools["pool3"], pools["pool4"], pools["pool5"]
 
     # fc6 / fc7 as convolutions.
     p = params["fc6"]
@@ -187,7 +236,7 @@ def fcn8_apply(
     fuse3 = up4 + sp3
 
     up8 = conv_transpose2d(fuse3, params["upscore8"]["w"], stride=8)
-    cropped = crop_to(up8, x.shape[1], x.shape[2])
+    cropped = crop_to(up8, in_hw[0], in_hw[1])
     logits = cropped.astype(jnp.float32)
 
     if "score" in want:

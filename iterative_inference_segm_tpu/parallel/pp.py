@@ -317,27 +317,34 @@ def make_pp_flagship(
     batch_axis: str | None = None,
     fcn_apply: Callable | None = None,
 ) -> Callable:
-    """The flagship pipeline split 2-ways: FCN-8 forward | pooled refinement.
+    """The flagship pipeline split at the model's natural seams.
 
-    Stage 0 runs the FCN-8 forward (class probabilities + conditioning
-    taps); stage 1 runs the K-step pooled-scale refinement and the full-res
-    rectification via the SAME ``halfres_refine`` path every other surface
-    uses (inference/fused.py) — the pipelined numerics are the sequential
+    The split depth follows the mesh: a size-2 ``stage_axis`` splits
+    FCN-8 forward | pooled refinement; size 3 splits VGG backbone |
+    FCN-8 head | pooled refinement (``models.fcn8.fcn8_backbone`` /
+    ``fcn8_head`` — the deeper split balances the backbone's ~2/3 of the
+    FLOPs against the fc6-heavy head). Both route the refinement through
+    the SAME ``halfres_refine`` path every other surface uses
+    (inference/fused.py) — the pipelined numerics are the sequential
     flagship's numerics by construction (tested in tests/test_pp.py). The
-    permuted wire carries only what stage 1 consumes — {y0, h-taps, yK};
-    the image stream stays out of the ppermute (``make_gpipe`` data-flow
-    contract).
+    permuted wire carries only downstream-consumed activations ({y0,
+    h-taps, yK}, plus the pool3/4/5 maps between backbone and head in the
+    3-stage split — pool3/pool5 ride the head→refine hop unconsumed, the
+    price of the SPMD uniform wire); the image stream stays out of the
+    ppermute (``make_gpipe`` data-flow contract). The 3-stage split
+    conditions the DAE from backbone taps only (``h_taps`` ⊆
+    pool3/pool4/pool5, read straight from the wire's pool slots).
 
     Returns ``forward(fcn_params, dae_params, images) -> (y0, y_k)`` where
-    ``images`` is (M, Bm, H, W, 3) — microbatches streaming through the two
-    stages (``split_microbatches`` to build). The ``stage_axis`` mesh axis
-    must have size 2 (the model's natural two-subnetwork split); compose
-    with DP over ``batch_axis``.
+    ``images`` is (M, Bm, H, W, 3) — microbatches streaming through the
+    stages (``split_microbatches`` to build); compose with DP over
+    ``batch_axis``.
     """
-    if _check_stage_axis(mesh, stage_axis) != 2:
+    n_stages = _check_stage_axis(mesh, stage_axis)
+    if n_stages not in (2, 3):
         raise ValueError(
-            f"the flagship pipeline has 2 stages; mesh axis '{stage_axis}' "
-            f"has size {mesh.shape[stage_axis]}"
+            f"the flagship pipeline splits 2 or 3 ways; mesh axis "
+            f"'{stage_axis}' has size {n_stages}"
         )
     if fcn_apply is None:
         from iterative_inference_segm_tpu.models.fcn8 import fcn8_apply as fcn_apply
@@ -346,25 +353,12 @@ def make_pp_flagship(
 
     probs_dtype = state_dtype or compute_dtype
 
-    def fcn_fwd(fcn_params, x):
-        return fcn_apply(
-            fcn_params,
-            x,
-            return_features=h_taps,
-            compute_dtype=compute_dtype,
-            probs_dtype=probs_dtype,
-        )
-
-    def stage0(fcn_params, wire, x):
-        y0, h = fcn_fwd(fcn_params, x)
-        return {**wire, "y0": y0, "h": h}
-
-    def stage1(dae_params, wire, x):
-        y_k = halfres_refine(
+    def refine(dae_params, y0, h, in_hw):
+        return halfres_refine(
             dae_params,
-            wire["y0"],
-            wire["h"],
-            (x.shape[1], x.shape[2]),
+            y0,
+            h,
+            in_hw,
             eps=eps,
             num_steps=num_steps,
             depth=depth,
@@ -374,10 +368,102 @@ def make_pp_flagship(
             mode=mode,
             fold_tail=fold_tail,
         )
-        return {**wire, "yk": y_k}
+
+    def zeros_like_struct(s):
+        return jnp.zeros(s.shape, s.dtype)
+
+    if n_stages == 2:
+
+        def fcn_fwd(fcn_params, x):
+            return fcn_apply(
+                fcn_params,
+                x,
+                return_features=h_taps,
+                compute_dtype=compute_dtype,
+                probs_dtype=probs_dtype,
+            )
+
+        def stage0(fcn_params, wire, x):
+            y0, h = fcn_fwd(fcn_params, x)
+            return {**wire, "y0": y0, "h": h}
+
+        def stage1(dae_params, wire, x):
+            y_k = refine(
+                dae_params, wire["y0"], wire["h"], (x.shape[1], x.shape[2])
+            )
+            return {**wire, "yk": y_k}
+
+        stage_fns = (stage0, stage1)
+
+        def make_wire0(fcn_params, mb):
+            y0_s, h_s = jax.eval_shape(fcn_fwd, fcn_params, mb)
+            return {
+                "y0": zeros_like_struct(y0_s),
+                "h": jax.tree.map(zeros_like_struct, h_s),
+                "yk": zeros_like_struct(y0_s),
+            }
+
+        def stage_params_of(fcn_params, dae_params):
+            return (fcn_params, dae_params)
+
+    else:
+        from iterative_inference_segm_tpu.models.fcn8 import (
+            fcn8_backbone,
+            fcn8_head,
+        )
+
+        if not set(h_taps) <= {"pool3", "pool4", "pool5"}:
+            raise ValueError(
+                "the 3-stage flagship pipeline conditions the DAE from the "
+                f"backbone's pool taps (pool3/pool4/pool5); got {h_taps!r}"
+            )
+
+        def stage0(fcn_params, wire, x):
+            pools, _ = fcn8_backbone(fcn_params, x, compute_dtype=compute_dtype)
+            return {**wire, "pools": pools}
+
+        def stage1(fcn_params, wire, x):
+            y0, _ = fcn8_head(
+                fcn_params,
+                wire["pools"],
+                (x.shape[1], x.shape[2]),
+                probs_dtype=probs_dtype,
+            )
+            return {**wire, "y0": y0}
+
+        def stage2(dae_params, wire, x):
+            h = {t: wire["pools"][t] for t in h_taps}
+            y_k = refine(dae_params, wire["y0"], h, (x.shape[1], x.shape[2]))
+            return {**wire, "yk": y_k}
+
+        stage_fns = (stage0, stage1, stage2)
+
+        def make_wire0(fcn_params, mb):
+            pools_s, _ = jax.eval_shape(
+                lambda p, x: fcn8_backbone(p, x, compute_dtype=compute_dtype),
+                fcn_params,
+                mb,
+            )
+            y0_s, _ = jax.eval_shape(
+                lambda p, pl: fcn8_head(
+                    p, pl, (mb.shape[1], mb.shape[2]), probs_dtype=probs_dtype
+                ),
+                fcn_params,
+                pools_s,
+            )
+            return {
+                "pools": jax.tree.map(zeros_like_struct, pools_s),
+                "y0": zeros_like_struct(y0_s),
+                "yk": zeros_like_struct(y0_s),
+            }
+
+        def stage_params_of(fcn_params, dae_params):
+            # the two FCN stages reference the same pytree — the same device
+            # buffers, no duplication
+            return (fcn_params, fcn_params, dae_params)
 
     pipeline = make_gpipe(
-        (stage0, stage1), mesh, stage_axis=stage_axis, batch_axis=batch_axis
+        stage_fns, mesh, stage_axis=stage_axis, batch_axis=batch_axis
     )
 
     def forward(fcn_params, dae_params, images):
@@ -385,17 +471,8 @@ def make_pp_flagship(
             raise ValueError(
                 f"images must be (M, Bm, H, W, 3) microbatches; got {images.shape}"
             )
-        y0_s, h_s = jax.eval_shape(fcn_fwd, fcn_params, images[0])
-
-        def zeros_like_struct(s):
-            return jnp.zeros(s.shape, s.dtype)
-
-        wire0 = {
-            "y0": zeros_like_struct(y0_s),
-            "h": jax.tree.map(zeros_like_struct, h_s),
-            "yk": zeros_like_struct(y0_s),
-        }
-        out = pipeline((fcn_params, dae_params), images, wire0)
+        wire0 = make_wire0(fcn_params, images[0])
+        out = pipeline(stage_params_of(fcn_params, dae_params), images, wire0)
         return out["y0"], out["yk"]
 
     return forward

@@ -212,7 +212,36 @@ def test_pp_flagship_wrong_stage_width_raises(cpu_devices):
         make_pp_flagship(mesh, eps=0.1, num_steps=3)
         raise AssertionError("expected ValueError on a 4-wide stage axis")
     except ValueError as e:
-        assert "2 stages" in str(e)
+        assert "2 or 3" in str(e)
+
+
+def test_pp_flagship_three_stage_matches_sequential(cpu_devices):
+    """Size-3 stage axis selects the deeper split (VGG backbone | FCN-8
+    head | pooled refinement, via fcn8_backbone/fcn8_head) — same numerics
+    as the sequential flagship."""
+    fcn, dae = _flagship_pair()
+    x = jax.random.normal(jax.random.PRNGKey(7), (6, 64, 64, 3))
+    seq = flagship_forward_fn(num_steps=3, depth=3, eps=0.1, compute_dtype=jnp.float32)
+    y0_ref, yk_ref = jax.jit(seq)(fcn, dae, x)
+
+    mesh = make_mesh(("stage",), (3,), devices=jax.devices()[:3])
+    pp = make_pp_flagship(mesh, eps=0.1, num_steps=3, depth=3, compute_dtype=jnp.float32)
+    y0, yk = jax.jit(pp)(fcn, dae, split_microbatches(x, 3))
+    np.testing.assert_allclose(
+        np.asarray(merge_microbatches(y0)), np.asarray(y0_ref), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(merge_microbatches(yk)), np.asarray(yk_ref), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_pp_flagship_three_stage_rejects_head_taps(cpu_devices):
+    mesh = make_mesh(("stage",), (3,), devices=jax.devices()[:3])
+    try:
+        make_pp_flagship(mesh, eps=0.1, num_steps=3, h_taps=("fc7",))
+        raise AssertionError("expected ValueError on a head tap in 3-stage pp")
+    except ValueError as e:
+        assert "pool" in str(e)
 
 
 def test_pp_flagship_grad_matches_sequential(cpu_devices):
