@@ -77,12 +77,14 @@ def parse_args(argv=None):
                         "the jitted refiner runs SPMD over a 'data' mesh "
                         "(params replicated, XLA partitions over ICI)")
     p.add_argument("--pp", action="store_true",
-                   help="serve through the 2-stage pipeline (FCN forward | "
-                        "pooled refinement, parallel/pp.py): microbatches "
-                        "stream through per-device stages over a 'stage' "
-                        "mesh axis; with --devices N>=4 (even) the batch "
-                        "also shards over a composed 'data' axis. Requires "
-                        "--engine half")
+                   help="serve through the stage pipeline (parallel/pp.py): "
+                        "microbatches stream through per-device stages over "
+                        "a 'stage' mesh axis; with --devices N > the stage "
+                        "count (divisible) the batch also shards over a "
+                        "composed 'data' axis. Requires --engine half")
+    p.add_argument("--pp-stages", type=int, choices=[2, 3], default=2,
+                   help="pipeline depth: 2 = FCN forward | refinement, "
+                        "3 = VGG backbone | FCN-8 head | refinement")
     p.add_argument("--pp-microbatches", type=int, default=2,
                    help="microbatches in flight per batch with --pp "
                         "(batch size must divide by microbatches x DP)")
@@ -198,20 +200,23 @@ def main(argv=None) -> int:
                 f"--pp-microbatches must be >= 1; got {args.pp_microbatches}"
             )
         avail = jax.devices()
+        s = args.pp_stages
         n_pp = (
             len(avail) if args.devices == "auto"
-            else int(args.devices) if args.devices else 2
+            else int(args.devices) if args.devices else s
         )
-        if n_pp < 2 or n_pp % 2:
-            raise SystemExit(f"--pp needs an even device count >= 2; got {n_pp}")
+        if n_pp < s or n_pp % s:
+            raise SystemExit(
+                f"--pp with {s} stages needs a device count divisible by {s}; got {n_pp}"
+            )
         if n_pp > len(avail):
             raise SystemExit(f"--pp over {n_pp} devices but only {len(avail)} visible")
-        if n_pp >= 4:
-            pp_mesh = make_mesh(("data", "stage"), (n_pp // 2, 2), devices=avail[:n_pp])
+        if n_pp > s:
+            pp_mesh = make_mesh(("data", "stage"), (n_pp // s, s), devices=avail[:n_pp])
             pp_batch_axis = "data"
         else:
-            pp_mesh = make_mesh(("stage",), (2,), devices=avail[:2])
-        pp_dp = n_pp // 2 if n_pp >= 4 else 1
+            pp_mesh = make_mesh(("stage",), (s,), devices=avail[:s])
+        pp_dp = n_pp // s
         if args.batch_size % (args.pp_microbatches * pp_dp):
             raise SystemExit(
                 f"--batch-size {args.batch_size} not divisible by "
@@ -351,7 +356,7 @@ def main(argv=None) -> int:
             f" x {pp_mesh.shape['data']}-wide DP" if pp_batch_axis else ""
         )
         print(
-            f"pipeline-parallel serving: 2 stages{dp_note}, "
+            f"pipeline-parallel serving: {pp_mesh.shape['stage']} stages{dp_note}, "
             f"{args.pp_microbatches} microbatches in flight", flush=True,
         )
     elif args.engine == "half":

@@ -306,3 +306,27 @@ def test_iterative_inference_cli_pp_requires_half_engine(capsys):
             "--synthetic", "--tiny", "--pp", "--engine", "general",
         ])
     assert "--engine half" in capsys.readouterr().err
+
+
+def test_iterative_inference_cli_pp_three_stage(capsys):
+    """--pp-stages 3 --devices 6: the deeper split (backbone | head |
+    refinement) composed with 2-wide DP, metrics identical to sequential."""
+    iterative_inference = _load_script("iterative_inference.py")
+    base = [
+        "--synthetic", "--tiny", "--num-steps", "3", "--engine", "half",
+        "--dae-stem-pool", "1", "--dae-depth", "3", "--batch-size", "8",
+        "--num-batches", "2", "--seed", "7",
+    ]
+    rc = iterative_inference.main(base)
+    assert rc in (0, None)
+    seq_out = capsys.readouterr().out
+
+    rc = iterative_inference.main(
+        base + ["--pp", "--pp-stages", "3", "--devices", "6"]
+    )
+    assert rc in (0, None)
+    pp_out = capsys.readouterr().out
+    assert "pipeline-parallel serving: 3 stages x 2-wide DP" in pp_out
+    seq_metrics = [l for l in seq_out.splitlines() if "mIoU" in l]
+    pp_metrics = [l for l in pp_out.splitlines() if "mIoU" in l]
+    assert seq_metrics and seq_metrics == pp_metrics
