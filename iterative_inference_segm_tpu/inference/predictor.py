@@ -99,10 +99,10 @@ class Predictor:
                 raise ValueError(
                     "pass either mesh (DP eval sharding) or pp_mesh (pipeline)"
                 )
-            if engine != "half" or not refine:
+            if not refine:
                 raise ValueError(
-                    "pp_mesh pipelines the pooled-engine flagship: requires "
-                    "engine='half' and a DAE"
+                    "pp_mesh pipelines the refinement serving path: requires "
+                    "a DAE (engine='half' or 'general')"
                 )
             from iterative_inference_segm_tpu.parallel.pp import (
                 make_pp_flagship,
@@ -125,6 +125,7 @@ class Predictor:
                 pp_mesh, eps=eps, num_steps=num_steps, h_taps=h_taps,
                 depth=dae_kwargs.get("depth", 4), compute_dtype=compute_dtype,
                 encoder=dae_kwargs.get("encoder", "pool"), mode=mode,
+                engine=engine, dae_arch=dae_arch,
                 batch_axis=pp_batch_axis,
             )
 

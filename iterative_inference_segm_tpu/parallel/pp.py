@@ -313,6 +313,9 @@ def make_pp_flagship(
     encoder: str = "pool",
     mode: str = "score",
     fold_tail: bool | None = None,
+    engine: str = "half",
+    renorm: str = "none",
+    dae_arch: str = "dae",
     stage_axis: str = "stage",
     batch_axis: str | None = None,
     fcn_apply: Callable | None = None,
@@ -323,10 +326,15 @@ def make_pp_flagship(
     FCN-8 forward | pooled refinement; size 3 splits VGG backbone |
     FCN-8 head | pooled refinement (``models.fcn8.fcn8_backbone`` /
     ``fcn8_head`` — the deeper split balances the backbone's ~2/3 of the
-    FLOPs against the fc6-heavy head). Both route the refinement through
-    the SAME ``halfres_refine`` path every other surface uses
-    (inference/fused.py) — the pipelined numerics are the sequential
-    flagship's numerics by construction (tested in tests/test_pp.py). The
+    FLOPs against the fc6-heavy head). ``engine`` picks the refinement
+    stage's loop: 'half' (default) routes through the SAME
+    ``halfres_refine`` path every other surface uses (inference/fused.py);
+    'general' runs the reference-semantics full-resolution
+    ``refinement_scan`` (inference/iterative.py) and serves all three
+    score-network architectures (``dae_arch``, registry-dispatched) with
+    the ``renorm`` knob. Either way the pipelined numerics are the
+    sequential engine's numerics by construction (tested in
+    tests/test_pp.py). The
     permuted wire carries only downstream-consumed activations ({y0,
     h-taps, yK}, plus the pool3/4/5 maps between backbone and head in the
     3-stage split — pool3/pool5 ride the head→refine hop unconsumed, the
@@ -349,25 +357,52 @@ def make_pp_flagship(
     if fcn_apply is None:
         from iterative_inference_segm_tpu.models.fcn8 import fcn8_apply as fcn_apply
 
-    from iterative_inference_segm_tpu.inference.fused import halfres_refine
+    if engine == "half":
+        from iterative_inference_segm_tpu.inference.fused import halfres_refine
 
-    probs_dtype = state_dtype or compute_dtype
+        if dae_arch != "dae":
+            raise ValueError("engine='half' pipelines dae_arch='dae' only")
+        probs_dtype = state_dtype or compute_dtype
 
-    def refine(dae_params, y0, h, in_hw):
-        return halfres_refine(
-            dae_params,
-            y0,
-            h,
-            in_hw,
-            eps=eps,
-            num_steps=num_steps,
-            depth=depth,
-            compute_dtype=compute_dtype,
-            state_dtype=state_dtype,
-            encoder=encoder,
-            mode=mode,
-            fold_tail=fold_tail,
+        def refine(dae_params, y0, h, in_hw):
+            return halfres_refine(
+                dae_params,
+                y0,
+                h,
+                in_hw,
+                eps=eps,
+                num_steps=num_steps,
+                depth=depth,
+                compute_dtype=compute_dtype,
+                state_dtype=state_dtype,
+                encoder=encoder,
+                mode=mode,
+                fold_tail=fold_tail,
+            )
+
+    elif engine == "general":
+        # the reference-semantics loop (every step at full resolution,
+        # inference/iterative.py) behind the same pipeline seams; serves
+        # all three score-network architectures via the registry
+        from iterative_inference_segm_tpu.inference.iterative import refinement_scan
+        from iterative_inference_segm_tpu.models.registry import (
+            score_apply_fn,
+            score_kwargs,
         )
+
+        s_apply = score_apply_fn(dae_arch)
+        s_kw = dict(score_kwargs(dae_arch, depth=depth, encoder=encoder))
+        s_kw["compute_dtype"] = compute_dtype
+        probs_dtype = jnp.float32  # the general engine's parity convention
+
+        def refine(dae_params, y0, h, in_hw):
+            dae_fn = lambda y: s_apply(dae_params, y, h, **s_kw)
+            return refinement_scan(
+                dae_fn, y0, eps=eps, num_steps=num_steps, mode=mode, renorm=renorm
+            )
+
+    else:
+        raise ValueError(f"unknown engine {engine!r}; expected 'half' or 'general'")
 
     def zeros_like_struct(s):
         return jnp.zeros(s.shape, s.dtype)

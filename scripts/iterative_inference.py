@@ -81,7 +81,9 @@ def parse_args(argv=None):
                         "microbatches stream through per-device stages over "
                         "a 'stage' mesh axis; with --devices N > the stage "
                         "count (divisible) the batch also shards over a "
-                        "composed 'data' axis. Requires --engine half")
+                        "composed 'data' axis. Works with both engines "
+                        "(--engine half pipelines the pooled loop, general "
+                        "the reference-semantics full-res loop)")
     p.add_argument("--pp-stages", type=int, choices=[2, 3], default=2,
                    help="pipeline depth: 2 = FCN forward | refinement, "
                         "3 = VGG backbone | FCN-8 head | refinement")
@@ -100,9 +102,6 @@ def parse_args(argv=None):
     if args.wire != "f32" and not args.packed:
         p.error("--wire u8 requires --packed (the wire format is a property "
                 "of the packed-path input runtime)")
-    if args.pp and args.engine != "half":
-        p.error("--pp pipelines the pooled-engine flagship; rerun with "
-                "--engine half (and a --dae-stem-pool >= 1 DAE)")
     if args.pp and args.wire == "u8":
         p.error("--pp takes the f32 wire; the u8 sharded ingest composes "
                 "with the --devices DP eval path only")
@@ -334,7 +333,8 @@ def main(argv=None) -> int:
         pp_fwd = jax.jit(make_pp_flagship(
             pp_mesh, eps=eps, num_steps=num_steps, h_taps=tuple(args.concat_h),
             depth=args.dae_depth, compute_dtype=compute_dtype,
-            encoder=args.dae_encoder, mode=args.mode, batch_axis=pp_batch_axis,
+            encoder=args.dae_encoder, mode=args.mode, engine=args.engine,
+            renorm=args.renorm, dae_arch=args.arch, batch_axis=pp_batch_axis,
         ))
 
         def refine(x):

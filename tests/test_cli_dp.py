@@ -299,13 +299,26 @@ def test_iterative_inference_cli_pp_matches_sequential(capsys):
     assert seq_metrics and seq_metrics == pp_metrics
 
 
-def test_iterative_inference_cli_pp_requires_half_engine(capsys):
+def test_iterative_inference_cli_pp_general_engine(capsys):
+    """--pp --engine general: the reference-semantics loop served through
+    the pipeline, metrics identical to the sequential general engine."""
     iterative_inference = _load_script("iterative_inference.py")
-    with pytest.raises(SystemExit):
-        iterative_inference.main([
-            "--synthetic", "--tiny", "--pp", "--engine", "general",
-        ])
-    assert "--engine half" in capsys.readouterr().err
+    base = [
+        "--synthetic", "--tiny", "--num-steps", "3", "--engine", "general",
+        "--dae-depth", "4", "--batch-size", "8", "--num-batches", "2",
+        "--seed", "7",
+    ]
+    rc = iterative_inference.main(base)
+    assert rc in (0, None)
+    seq_out = capsys.readouterr().out
+
+    rc = iterative_inference.main(base + ["--pp", "--devices", "2"])
+    assert rc in (0, None)
+    pp_out = capsys.readouterr().out
+    assert "pipeline-parallel serving: 2 stages" in pp_out
+    seq_metrics = [l for l in seq_out.splitlines() if "mIoU" in l]
+    pp_metrics = [l for l in pp_out.splitlines() if "mIoU" in l]
+    assert seq_metrics and seq_metrics == pp_metrics
 
 
 def test_iterative_inference_cli_pp_three_stage(capsys):

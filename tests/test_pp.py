@@ -350,3 +350,38 @@ def test_pp_flagship_bf16_matches_sequential(cpu_devices):
         np.asarray(merge_microbatches(yk).astype(jnp.float32)),
         np.asarray(yk_ref.astype(jnp.float32)),
     )
+
+
+def test_pp_flagship_general_engine_matches_sequential(cpu_devices):
+    """engine='general' pipelines the reference-semantics full-resolution
+    refinement_scan — equal to the sequential make_refiner path."""
+    from iterative_inference_segm_tpu.inference import make_refiner
+    from iterative_inference_segm_tpu.models import fcn8_apply
+    from iterative_inference_segm_tpu.models.registry import score_apply_fn
+
+    fcn = init_fcn8(jax.random.PRNGKey(0), n_classes=C, fc_channels=16)
+    dae = init_dae(
+        jax.random.PRNGKey(1), n_classes=C,
+        h_specs={"pool4": DAE_H_CHANNELS["pool4"]}, depth=4,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(8), (4, 64, 64, 3))
+
+    seq = make_refiner(
+        fcn8_apply, score_apply_fn("dae"), fcn, dae,
+        eps=0.1, num_steps=3, h_taps=("pool4",), mode="score",
+        compute_dtype=jnp.float32, dae_kwargs={"depth": 4},
+    )
+    y0_ref, yk_ref = seq(x)
+
+    mesh = make_mesh(("stage",), (2,), devices=jax.devices()[:2])
+    pp = make_pp_flagship(
+        mesh, eps=0.1, num_steps=3, depth=4, compute_dtype=jnp.float32,
+        engine="general",
+    )
+    y0, yk = jax.jit(pp)(fcn, dae, split_microbatches(x, 2))
+    np.testing.assert_allclose(
+        np.asarray(merge_microbatches(y0)), np.asarray(y0_ref), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(merge_microbatches(yk)), np.asarray(yk_ref), rtol=1e-5, atol=1e-6
+    )

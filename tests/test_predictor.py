@@ -211,8 +211,8 @@ def test_predictor_pp_validation(params):
 
     fcn, dae = params
     mesh = make_mesh(("stage",), (2,), devices=jax.devices()[:2])
-    with pytest.raises(ValueError, match="engine='half'"):
-        Predictor(fcn, dae, dataset=TINY, pp_mesh=mesh, num_steps=2)
+    with pytest.raises(ValueError, match="DAE"):
+        Predictor(fcn, None, dataset=TINY, pp_mesh=mesh, num_steps=2)
     dae1 = init_dae(jax.random.PRNGKey(2), n_classes=4, h_specs={"pool4": 512},
                     depth=3, stem_pool=1, widths=(8, 16, 32))
     with pytest.raises(ValueError, match="divisible"):
