@@ -62,8 +62,10 @@ class Predictor:
         size 2 (FCN forward | pooled refinement) or 3 (VGG backbone |
         FCN-8 head | refinement), plus an optional 'data' axis for
         composed DP; ``pp_microbatches`` in flight per compiled batch.
-        Requires engine='half' with a DAE; mutually exclusive with
-        ``mesh`` (whose DP eval sharding the pipeline subsumes)."""
+        Works with both engines ('half' pipelines the pooled loop,
+        'general' the reference-semantics full-res loop; a DAE is required
+        either way); mutually exclusive with ``mesh`` (whose DP eval
+        sharding the pipeline subsumes)."""
         self.cfg = dataset
         self.batch_size = batch_size
         self._mesh = mesh

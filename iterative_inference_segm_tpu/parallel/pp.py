@@ -362,6 +362,11 @@ def make_pp_flagship(
 
         if dae_arch != "dae":
             raise ValueError("engine='half' pipelines dae_arch='dae' only")
+        if renorm != "none":
+            raise ValueError(
+                "renorm is a general-engine knob (the pooled engine's update "
+                "has no renormalization step); pass engine='general'"
+            )
         probs_dtype = state_dtype or compute_dtype
 
         def refine(dae_params, y0, h, in_hw):
@@ -390,6 +395,11 @@ def make_pp_flagship(
             score_kwargs,
         )
 
+        if state_dtype is not None or fold_tail is not None:
+            raise ValueError(
+                "state_dtype/fold_tail are pooled-engine knobs; the general "
+                "engine carries f32 full-res state with the unfolded tail"
+            )
         s_apply = score_apply_fn(dae_arch)
         s_kw = dict(score_kwargs(dae_arch, depth=depth, encoder=encoder))
         s_kw["compute_dtype"] = compute_dtype

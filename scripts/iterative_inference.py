@@ -289,6 +289,11 @@ def main(argv=None) -> int:
     if args.engine == "half" and (args.dae_stem_pool < 1 or args.arch != "dae"):
         raise SystemExit("--engine half requires --dae-stem-pool >= 1 "
                          "(2 = quarter engine), --arch dae")
+    if args.engine == "half" and args.renorm != "none":
+        raise SystemExit(
+            "--renorm is a general-engine knob (the pooled engine's update "
+            "has no renormalization step); rerun with --engine general"
+        )
     if args.engine == "half" and args.dump_trajectory:
         raise SystemExit(
             "--dump-trajectory is a general-engine artifact (full-res y_k "

@@ -385,3 +385,15 @@ def test_pp_flagship_general_engine_matches_sequential(cpu_devices):
     np.testing.assert_allclose(
         np.asarray(merge_microbatches(yk)), np.asarray(yk_ref), rtol=1e-5, atol=1e-6
     )
+
+
+def test_pp_flagship_inert_knob_validation(cpu_devices):
+    """Engine-specific knobs error loudly instead of being silently dropped
+    (renorm is general-only; state_dtype/fold_tail are pooled-only)."""
+    mesh = make_mesh(("stage",), (2,), devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="renorm"):
+        make_pp_flagship(mesh, eps=0.1, num_steps=2, renorm="softmax")
+    with pytest.raises(ValueError, match="pooled-engine knobs"):
+        make_pp_flagship(
+            mesh, eps=0.1, num_steps=2, engine="general", fold_tail=True
+        )
