@@ -397,3 +397,24 @@ def test_pp_flagship_inert_knob_validation(cpu_devices):
         make_pp_flagship(
             mesh, eps=0.1, num_steps=2, engine="general", fold_tail=True
         )
+
+
+def test_pp_steady_state_comm_is_one_ppermute_per_tick(cpu_devices):
+    """Communication contract of the schedule: the compiled while-loop body
+    (the steady-state tick) contains exactly ONE collective-permute — the
+    wire hand-off — and no all-reduce/all-gather. Result collection outside
+    the loop may move the last stage's shard (epilogue, not per-tick)."""
+    params, (s0, s1), _ = _two_stages()
+    mesh = make_mesh(("stage",), (2,), devices=jax.devices()[:2])
+    pipe = make_gpipe((s0, s1), mesh)
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 3, 4))
+    hlo = (
+        jax.jit(pipe)
+        .lower(params, {"a": x}, _wire0(x))
+        .compile()
+        .as_text()
+    )
+    body_lines = [l for l in hlo.splitlines() if "while/body" in l]
+    assert sum("collective-permute(" in l for l in body_lines) == 1, body_lines
+    assert not any("all-reduce(" in l for l in body_lines), body_lines
+    assert not any("all-gather(" in l for l in body_lines), body_lines
