@@ -276,3 +276,38 @@ def test_shard_map_dp_psum_actually_averages(cpu_devices):
     # loss means over the 4 w-components too, so grad = 2*(w - mean(t))/4;
     # sgd(1.0): w <- 0 + 2*3.5/4 = 1.75 — reflecting ALL shards' targets
     np.testing.assert_allclose(np.asarray(p_new["w"]), 1.75, rtol=1e-5)
+
+
+def test_dp_step_compiled_comm_is_one_fused_allreduce(cpu_devices):
+    """Communication contract of the explicit DP step: XLA fuses the loss
+    pmean and EVERY per-leaf gradient pmean into exactly ONE all-reduce per
+    step (no gathers/permutes) — the collective rides ICI once, as the
+    shard_map formulation intends."""
+    import optax
+
+    from iterative_inference_segm_tpu.models.fcn8 import fcn8_logits
+    from iterative_inference_segm_tpu.ops.losses import masked_crossentropy
+    from iterative_inference_segm_tpu.parallel.dp import make_dp_grad_step
+
+    mesh = make_mesh(("data",))
+    params = init_fcn8(jax.random.PRNGKey(0), n_classes=C, fc_channels=16)
+    tx = optax.adam(1e-3)
+
+    def loss_fn(p, batch, rng):
+        x, y = batch
+        return masked_crossentropy(fcn8_logits(p, x), y, n_classes=C)
+
+    step = make_dp_grad_step(loss_fn, tx, mesh)
+    x = jnp.zeros((8, 48, 64, 3))
+    y = jnp.zeros((8, 48, 64), jnp.int32)
+    hlo = (
+        step.lower(params, tx.init(params), (x, y), jax.random.PRNGKey(0))
+        .compile()
+        .as_text()
+    )
+    lines = hlo.splitlines()
+    assert sum("all-reduce(" in l for l in lines) == 1, [
+        l for l in lines if "all-reduce(" in l
+    ]
+    for op in ("collective-permute(", "all-gather(", "all-to-all("):
+        assert not any(op in l for l in lines), op

@@ -132,3 +132,36 @@ def test_tp_train_step_shards_optimizer_state(cpu_devices):
     assert _axis_at(mu["fc6"]["w"], 3) == "model"
     assert _axis_at(mu["fc7"]["w"], 2) == "model"
     assert np.all(np.isfinite(np.asarray(p2["fc6"]["b"], dtype=np.float32)))
+
+
+def test_tp_compiled_comm_is_one_allreduce(cpu_devices):
+    """Communication contract of the TP layout: the compiled forward
+    contains exactly ONE all-reduce — fc7's partial-sum reduction over the
+    'model' axis — and no collective-permute; GSPMD keeps the fc6->relu->fc7
+    chain local to each shard as designed."""
+    import jax.numpy as jnp
+
+    from iterative_inference_segm_tpu.models import fcn8_apply, init_fcn8
+    from iterative_inference_segm_tpu.parallel import make_mesh
+    from iterative_inference_segm_tpu.parallel.tp import tp_shardings
+
+    params = init_fcn8(jax.random.PRNGKey(0), n_classes=4, fc_channels=16)
+    mesh = make_mesh(("model",), (2,), devices=jax.devices()[:2])
+    shardings = tp_shardings(params, mesh)
+    p_struct = jax.tree.map(
+        lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s),
+        params,
+        shardings,
+    )
+    x = jax.ShapeDtypeStruct((2, 48, 64, 3), jnp.float32)
+    hlo = (
+        jax.jit(lambda p, xx: fcn8_apply(p, xx)[0])
+        .lower(p_struct, x)
+        .compile()
+        .as_text()
+    )
+    lines = hlo.splitlines()
+    assert sum("all-reduce(" in l for l in lines) == 1, [
+        l for l in lines if "all-reduce(" in l
+    ]
+    assert not any("collective-permute(" in l for l in lines)
