@@ -311,3 +311,35 @@ def test_dp_step_compiled_comm_is_one_fused_allreduce(cpu_devices):
     ]
     for op in ("collective-permute(", "all-gather(", "all-to-all("):
         assert not any(op in l for l in lines), op
+
+
+def test_sp_forward_compiled_comm_is_halo_exchange(cpu_devices):
+    """Communication contract of spatial sharding: convs/pools on the
+    H-sharded maps compile to collective-permute HALO EXCHANGES (neighbor
+    transfers of boundary rows), with at most one all-gather where the
+    /32-scale map becomes smaller than the shard count — never an
+    all-reduce, and never a wholesale gather-per-layer."""
+    from jax.sharding import NamedSharding
+
+    mesh = make_mesh(("data", "space"), (4, 2))
+    params = init_fcn8(jax.random.PRNGKey(0), n_classes=C, fc_channels=16)
+    repl = NamedSharding(mesh, P())
+    p_struct = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=repl), params
+    )
+    x_struct = jax.ShapeDtypeStruct(
+        (4, 48, 64, 3), jnp.float32,
+        sharding=batch_sharding(mesh, 4, spatial_axis="space"),
+    )
+    hlo = (
+        jax.jit(lambda p, xx: fcn8_apply(p, xx)[0])
+        .lower(p_struct, x_struct)
+        .compile()
+        .as_text()
+    )
+    lines = hlo.splitlines()
+    assert sum("collective-permute(" in l for l in lines) >= 1
+    assert sum("all-gather(" in l for l in lines) <= 1, [
+        l for l in lines if "all-gather(" in l
+    ]
+    assert not any("all-reduce(" in l for l in lines)
