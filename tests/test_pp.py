@@ -458,3 +458,36 @@ def test_pp_general_serves_mirror_arch(cpu_devices):
     np.testing.assert_allclose(yk, np.asarray(yk_ref), atol=5e-3)
     agree = (yk.argmax(-1) == np.asarray(yk_ref).argmax(-1)).mean()
     assert agree > 0.999, agree
+
+
+def test_pp_three_stage_general_engine(cpu_devices):
+    """The cross term: deeper 3-stage split x general engine — backbone |
+    head | full-res reference-semantics refinement."""
+    from iterative_inference_segm_tpu.inference import make_refiner
+    from iterative_inference_segm_tpu.models import fcn8_apply
+    from iterative_inference_segm_tpu.models.registry import score_apply_fn
+
+    fcn = init_fcn8(jax.random.PRNGKey(0), n_classes=C, fc_channels=16)
+    dae = init_dae(
+        jax.random.PRNGKey(1), n_classes=C,
+        h_specs={"pool4": DAE_H_CHANNELS["pool4"]}, depth=4,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(10), (6, 64, 64, 3))
+
+    seq = make_refiner(
+        fcn8_apply, score_apply_fn("dae"), fcn, dae,
+        eps=0.1, num_steps=2, h_taps=("pool4",), mode="score",
+        compute_dtype=jnp.float32, dae_kwargs={"depth": 4},
+    )
+    _, yk_ref = seq(x)
+
+    mesh = make_mesh(("stage",), (3,), devices=jax.devices()[:3])
+    pp = make_pp_flagship(
+        mesh, eps=0.1, num_steps=2, depth=4, compute_dtype=jnp.float32,
+        engine="general",
+    )
+    _, yk = jax.jit(pp)(fcn, dae, split_microbatches(x, 3))
+    np.testing.assert_allclose(
+        np.asarray(merge_microbatches(yk)), np.asarray(yk_ref),
+        rtol=1e-5, atol=1e-6,
+    )
