@@ -102,9 +102,6 @@ def parse_args(argv=None):
     if args.wire != "f32" and not args.packed:
         p.error("--wire u8 requires --packed (the wire format is a property "
                 "of the packed-path input runtime)")
-    if args.pp and args.wire == "u8":
-        p.error("--pp takes the f32 wire; the u8 sharded ingest composes "
-                "with the --devices DP eval path only")
     return args
 
 

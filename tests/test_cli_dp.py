@@ -343,3 +343,31 @@ def test_iterative_inference_cli_pp_three_stage(capsys):
     seq_metrics = [l for l in seq_out.splitlines() if "mIoU" in l]
     pp_metrics = [l for l in pp_out.splitlines() if "mIoU" in l]
     assert seq_metrics and seq_metrics == pp_metrics
+
+
+def test_iterative_inference_cli_pp_u8_wire(tmp_path, capsys):
+    """--pp composes with the u8 packed wire: raw bytes cross the link,
+    the loader's on-device normalize (file-header stats) feeds the
+    pipeline. Smoke: completes and reports the IoU table."""
+    from iterative_inference_segm_tpu.data.config_datasets import CAMVID
+    from iterative_inference_segm_tpu.data.native_loader import pack_dataset
+
+    rng = np.random.default_rng(0)
+    packed = tmp_path / "packed"
+    packed.mkdir()
+    imgs = rng.integers(0, 256, (4, 96, 128, 3), np.uint8)
+    labs = rng.integers(0, CAMVID.n_classes, (4, 96, 128)).astype(np.int32)
+    pack_dataset(packed / "test.iist", imgs, labs, CAMVID)
+
+    iterative_inference = _load_script("iterative_inference.py")
+    rc = iterative_inference.main([
+        "--packed", str(packed), "--wire", "u8", "--tiny",
+        "--num-steps", "2", "--engine", "half",
+        "--dae-stem-pool", "1", "--dae-depth", "3",
+        "--dae-widths", "8", "16", "32",
+        "--batch-size", "4", "--pp", "--devices", "2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pipeline-parallel serving: 2 stages" in out
+    assert "per-class IoU" in out
