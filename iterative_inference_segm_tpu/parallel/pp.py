@@ -174,9 +174,16 @@ def make_gpipe(
     *,
     stage_axis: str = "stage",
     batch_axis: str | None = None,
+    remat: bool = False,
 ) -> Callable:
     """Heterogeneous-stage pipeline:
     ``pipeline(stage_params, stream, wire0) -> wires``.
+
+    ``remat=True`` wraps each tick's stage compute in ``jax.checkpoint``:
+    the reverse pipeline then recomputes a tick's activations from its
+    input wire instead of storing every tick's internals — the standard
+    memory/FLOP trade for pipelined TRAINING, where the T = M + S − 1
+    ticks would otherwise each hold a full stage's residuals.
 
     ``stage_fns[i](stage_params[i], wire, inp) -> wire`` — ``inp`` is the
     per-microbatch stream element (stage 0's input; later stages may use
@@ -207,6 +214,9 @@ def make_gpipe(
                     for i in range(num_stages)
                 ]
                 return lax.switch(lax.axis_index(stage_axis), branches, wire, inp)
+
+            if remat:
+                run_stage = jax.checkpoint(run_stage)
 
             return _gpipe_schedule(
                 run_stage,
@@ -241,6 +251,7 @@ def make_gpipe_stacked(
     *,
     stage_axis: str = "stage",
     batch_axis: str | None = None,
+    remat: bool = False,
 ) -> Callable:
     """Homogeneous-stage pipeline with per-stage parameter residency:
     ``pipeline(stage_params, wires) -> wires``.
@@ -276,6 +287,9 @@ def make_gpipe_stacked(
                     lambda a, b: jnp.where(idx == 0, a, b), inp, wire
                 )
                 return stage_fn(local, wire_in)
+
+            if remat:
+                run_stage = jax.checkpoint(run_stage)
 
             wire0 = jax.tree.map(lambda a: jnp.zeros(a.shape[1:], a.dtype), wires)
             return _gpipe_schedule(

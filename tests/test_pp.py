@@ -491,3 +491,34 @@ def test_pp_three_stage_general_engine(cpu_devices):
         np.asarray(merge_microbatches(yk)), np.asarray(yk_ref),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_gpipe_remat_grad_matches(cpu_devices):
+    """remat=True (jax.checkpoint around each tick's stage compute) changes
+    memory, not math: gradients equal the non-remat pipeline's."""
+    mesh = make_mesh(("stage",), (4,), devices=jax.devices()[:4])
+    ks = jax.random.normal(jax.random.PRNGKey(3), (4, 4, 4))
+
+    def stage(p, w):
+        return {**w, "a": jnp.tanh(w["a"] @ p)}
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (6, 2, 4))
+    pipe = make_gpipe_stacked(stage, mesh)
+    pipe_r = make_gpipe_stacked(stage, mesh, remat=True)
+    g = jax.jit(jax.grad(lambda ps: jnp.sum(pipe(ps, {"a": x})["a"] ** 2)))(ks)
+    g_r = jax.jit(jax.grad(lambda ps: jnp.sum(pipe_r(ps, {"a": x})["a"] ** 2)))(ks)
+    np.testing.assert_allclose(np.asarray(g_r), np.asarray(g), rtol=1e-5, atol=1e-6)
+
+    params, (s0, s1), _ = _two_stages()
+    mesh2 = make_mesh(("stage",), (2,), devices=jax.devices()[:2])
+    het = make_gpipe((s0, s1), mesh2)
+    het_r = make_gpipe((s0, s1), mesh2, remat=True)
+    xh = jax.random.normal(jax.random.PRNGKey(5), (3, 2, 4))
+    gh = jax.jit(jax.grad(
+        lambda ps: jnp.sum(het(ps, {"a": xh}, _wire0(xh))["a"] ** 2)
+    ))(params)
+    gh_r = jax.jit(jax.grad(
+        lambda ps: jnp.sum(het_r(ps, {"a": xh}, _wire0(xh))["a"] ** 2)
+    ))(params)
+    for a, b in zip(jax.tree.leaves(gh), jax.tree.leaves(gh_r)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6)
