@@ -123,6 +123,7 @@ def _gpipe_schedule(
     stage_axis: str,
     num_stages: int,
     num_microbatches: int,
+    remat: bool = False,
 ):
     """The per-device GPipe schedule (runs inside shard_map).
 
@@ -131,7 +132,15 @@ def _gpipe_schedule(
     ``wire0``: the zero initial wire, (Bm, ...) leaves. Returns the
     per-device emit stream with a leading singleton stage dim,
     (1, T, Bm, ...), for an out_spec over ``stage_axis``.
+
+    ``remat``: checkpoint each tick's stage compute so the scan transpose
+    (the reverse pipeline) recomputes activations from the tick's input
+    wire. ``prevent_cse=False`` because the checkpoint sits inside a
+    ``lax.scan`` body, where the CSE-prevention barriers are unnecessary
+    overhead (per the jax.checkpoint contract).
     """
+    if remat:
+        run_stage = jax.checkpoint(run_stage, prevent_cse=False)
     s = num_stages
     m = num_microbatches
     t_total = m + s - 1
@@ -215,9 +224,6 @@ def make_gpipe(
                 ]
                 return lax.switch(lax.axis_index(stage_axis), branches, wire, inp)
 
-            if remat:
-                run_stage = jax.checkpoint(run_stage)
-
             return _gpipe_schedule(
                 run_stage,
                 stream,
@@ -225,6 +231,7 @@ def make_gpipe(
                 stage_axis=stage_axis,
                 num_stages=num_stages,
                 num_microbatches=m,
+                remat=remat,
             )
 
         stacked = shard_map(
@@ -288,9 +295,6 @@ def make_gpipe_stacked(
                 )
                 return stage_fn(local, wire_in)
 
-            if remat:
-                run_stage = jax.checkpoint(run_stage)
-
             wire0 = jax.tree.map(lambda a: jnp.zeros(a.shape[1:], a.dtype), wires)
             return _gpipe_schedule(
                 run_stage,
@@ -299,6 +303,7 @@ def make_gpipe_stacked(
                 stage_axis=stage_axis,
                 num_stages=num_stages,
                 num_microbatches=m,
+                remat=remat,
             )
 
         stacked = shard_map(

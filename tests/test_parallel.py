@@ -285,8 +285,6 @@ def test_dp_step_compiled_comm_is_one_fused_allreduce(cpu_devices):
     shard_map formulation intends."""
     import optax
 
-    from iterative_inference_segm_tpu.models.fcn8 import fcn8_logits
-    from iterative_inference_segm_tpu.ops.losses import masked_crossentropy
     from iterative_inference_segm_tpu.parallel.dp import make_dp_grad_step
 
     mesh = make_mesh(("data",))

@@ -139,10 +139,6 @@ def test_tp_compiled_comm_is_one_allreduce(cpu_devices):
     contains exactly ONE all-reduce — fc7's partial-sum reduction over the
     'model' axis — and no collective-permute; GSPMD keeps the fc6->relu->fc7
     chain local to each shard as designed."""
-    import jax.numpy as jnp
-
-    from iterative_inference_segm_tpu.models import fcn8_apply, init_fcn8
-    from iterative_inference_segm_tpu.parallel import make_mesh
     from iterative_inference_segm_tpu.parallel.tp import tp_shardings
 
     params = init_fcn8(jax.random.PRNGKey(0), n_classes=4, fc_channels=16)
