@@ -159,3 +159,21 @@ def load_dataset_split(
 
         return load_split(root, split, cfg)
     raise ValueError(f"unknown dataset {dataset!r}; expected camvid/em/polyps")
+
+
+def epoch_reshuffled(make_batches, base_seed: int):
+    """Wrap a seeded batch-iterator factory so every call (= every epoch)
+    draws a FRESH shuffle order: call N passes ``seed = base_seed + N``.
+
+    The reference's ``dataset_loaders`` reshuffle the training set each
+    epoch (``[ref: data_loader.py]``); a factory closed over one fixed seed
+    would repeat the same batch composition every epoch instead. Used by
+    the training CLIs' disk branches; deterministic given ``base_seed``.
+    """
+    counter = {"n": 0}
+
+    def data():
+        counter["n"] += 1
+        return make_batches(seed=base_seed + counter["n"])
+
+    return data

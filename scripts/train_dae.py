@@ -155,11 +155,21 @@ def main(argv=None) -> int:
         )
     else:
         from iterative_inference_segm_tpu.data.camvid import iterate_split
-        from iterative_inference_segm_tpu.data.loaders import load_dataset_split
+        from iterative_inference_segm_tpu.data.loaders import (
+            epoch_reshuffled,
+            load_dataset_split,
+        )
 
         tr_i, tr_l = load_dataset_split(args.dataset, args.data_root, "train", cfg)
         va_i, va_l = load_dataset_split(args.dataset, args.data_root, "val", cfg)
-        train_data = lambda: iterate_split(tr_i, tr_l, batch_size=args.batch_size, shuffle=True, seed=args.seed)
+        # fresh shuffle order every epoch (like the packed path and the
+        # reference's dataset_loaders), not one fixed permutation
+        train_data = epoch_reshuffled(
+            lambda seed: iterate_split(
+                tr_i, tr_l, batch_size=args.batch_size, shuffle=True, seed=seed
+            ),
+            args.seed,
+        )
         val_data = lambda: iterate_split(va_i, va_l, batch_size=args.batch_size)
 
     workdir = args.workdir or os.path.join(
