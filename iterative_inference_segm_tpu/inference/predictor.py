@@ -104,7 +104,8 @@ class Predictor:
             if not refine:
                 raise ValueError(
                     "pp_mesh pipelines the refinement serving path: requires "
-                    "a DAE (engine='half' or 'general')"
+                    "a DAE and num_steps > 0 (or engine='half', which always "
+                    "runs its rectification pass)"
                 )
             from iterative_inference_segm_tpu.parallel.pp import (
                 make_pp_flagship,

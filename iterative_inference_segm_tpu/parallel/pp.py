@@ -2,10 +2,15 @@
 
 The reference is single-GPU (SURVEY.md §3.4), so this axis — like SP and TP
 — is a rebuild extension: the fourth parallelism axis the framework ships
-(DP/SP/TP/PP). It targets the deployment where the FCN-8 + DAE pair does
-not fit (or should not sit) on one chip: each pipeline stage holds one
-contiguous slice of the network, microbatches stream through the stages,
-and inter-stage activations ride ICI via ``lax.ppermute``.
+(DP/SP/TP/PP). Each pipeline stage runs one contiguous slice of the
+network, microbatches stream through the stages, and inter-stage
+activations ride ICI via ``lax.ppermute``. What each variant buys differs:
+``make_gpipe_stacked`` shards per-stage params P('stage') — true parameter
+residency, the split for a model that does not fit on one chip — while
+``make_gpipe`` (heterogeneous stages, used by ``make_pp_flagship``) keeps
+params replicated (``lax.switch`` traces every branch, so stage_params
+enter with in_specs P()); the flagship pipeline therefore splits compute
+and activation footprint, not parameter memory.
 
 TPU-native formulation — no NCCL send/recv loops, no per-stage processes:
 

@@ -39,6 +39,13 @@ def parse_args(argv=None):
                    help="load the FCN from a reference-era Lasagne positional "
                         ".npz (layout conversion automatic) — the one-command "
                         "parity check against reference weights")
+    p.add_argument("--fcn-flip-deconvs", action="store_true",
+                   help="with --fcn-reference-npz: reverse the spatial taps "
+                        "of the transposed-conv kernels (checkpoints saved "
+                        "under the flipped/convolution convention). Trained "
+                        "deconvs are not symmetric, so first contact runs "
+                        "BOTH conventions and keeps the one matching the "
+                        "paper's baseline — see PARITY.md step A2")
     p.add_argument("--dae-npz", default=None)
     p.add_argument("--concat-h", nargs="*", default=["pool4"])
     p.add_argument("--dae-depth", type=int, default=4)
@@ -134,7 +141,9 @@ def main(argv=None) -> int:
     if args.fcn_reference_npz:
         from iterative_inference_segm_tpu.utils.import_weights import import_lasagne_npz
 
-        fcn_params = import_lasagne_npz(args.fcn_reference_npz, fcn_template)
+        fcn_params = import_lasagne_npz(
+            args.fcn_reference_npz, fcn_template, flip_deconvs=args.fcn_flip_deconvs
+        )
     elif args.fcn_npz:
         fcn_params = load_npz(args.fcn_npz, fcn_template)
     else:
@@ -227,14 +236,16 @@ def main(argv=None) -> int:
         raw_wire = args.wire == "u8"
         packed_stats = {}
 
-        def packed_batches(split, *, device_normalize=True):
+        def packed_batches(split, *, device_normalize=False):
             """u8 wire: uint8 bytes cross the host->device link and a jitted
             ingest normalizes on-chip with the FILE's header statistics (the
             f32 wire's host normalize honors them, so both wires must agree
             even if the file was packed under different stats than the
-            runtime --dataset config). With ``device_normalize=False`` (the
-            sharded-eval path) batches stay host-side u8 and the eval loop's
-            put_x normalizes after the sharded device_put."""
+            runtime --dataset config). Test batches stay host-side u8 —
+            the eval loop's put_x normalizes per batch (after the sharded
+            device_put on a mesh), so the whole split is never resident in
+            HBM at once (ADVICE r3). Only the val split, which --search
+            re-iterates per eps, is device-normalized up front."""
             with NativeDataset(os.path.join(args.packed, f"{split}.iist")) as ds:
                 file_cfg = dataclasses.replace(cfg, mean=ds.mean, std=ds.std)
                 packed_stats[split] = file_cfg
@@ -251,8 +262,8 @@ def main(argv=None) -> int:
 
         # val is only consumed by --search; don't require (or transfer) it
         # otherwise — a pure serving layout may ship test.iist alone
-        val_batches = packed_batches("val") if args.search else []
-        test_batches = packed_batches("test", device_normalize=mesh is None)
+        val_batches = packed_batches("val", device_normalize=True) if args.search else []
+        test_batches = packed_batches("test")
     elif args.synthetic or not args.data_root:
         from iterative_inference_segm_tpu.data.synthetic import synthetic_batches
 
@@ -383,6 +394,11 @@ def main(argv=None) -> int:
         from iterative_inference_segm_tpu.utils.colorize import save_label_png
 
         images0, _ = test_batches[0]
+        x0 = jnp.asarray(images0)
+        if args.packed and args.wire == "u8":
+            # test batches stay host-side u8 (ADVICE r3) — normalize with the
+            # test file's header stats before the trajectory forward
+            x0 = normalize_image(x0, packed_stats["test"], input_scale=255.0)
 
         # params as jit arguments (closures over weights trip the relay's
         # compile-request size limit — CLAUDE.md)
@@ -397,7 +413,7 @@ def main(argv=None) -> int:
             )
 
         traj = np.asarray(
-            traj_fn(fcn_params, dae_params, jnp.asarray(images0)).argmax(-1)
+            traj_fn(fcn_params, dae_params, x0).argmax(-1)
         )  # (K+1, B, H, W)
         os.makedirs(args.dump_dir, exist_ok=True)
         for k in range(traj.shape[0]):
@@ -439,6 +455,13 @@ def main(argv=None) -> int:
             )
 
         print(f"eval batches sharded over {mesh.shape['data']} devices", flush=True)
+    elif args.packed and args.wire == "u8":
+        # single-device u8 wire: bytes cross the link per batch, normalize
+        # on-chip with the test file's header stats (batches are host u8)
+        norm_ingest = jax.jit(
+            lambda x: normalize_image(x, packed_stats["test"], input_scale=255.0)
+        )
+        put_x = lambda im: norm_ingest(jnp.asarray(im))
     else:
         put_x = jnp.asarray
 

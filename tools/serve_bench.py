@@ -91,116 +91,118 @@ def main() -> int:
     del images, labels
 
     ds = NativeDataset(path)
+    try:
 
-    def epoch_batches(raw: bool):
-        return ds.batches(
-            B, shuffle=False, drop_last=True, n_threads=args.n_threads, raw=raw
+        def epoch_batches(raw: bool):
+            return ds.batches(
+                B, shuffle=False, drop_last=True, n_threads=args.n_threads, raw=raw
+            )
+
+        # --- flagship pipeline (parity config: fc4096, pool encoder, stem1/d3,
+        #     folded tail — the bench.py default) ---
+        n_classes = cfg.n_classes
+        fcn_params = init_fcn8(jax.random.PRNGKey(0), n_classes=n_classes)
+        dae_params = init_dae(
+            jax.random.PRNGKey(1), n_classes=n_classes,
+            h_specs={"pool4": DAE_H_CHANNELS["pool4"]}, depth=3, stem_pool=1,
         )
+        # the ONE shared pipeline definition (inference/fused.py) — identical to
+        # what bench.py's default run and __graft_entry__.entry() measure
+        flagship = flagship_forward_fn(num_steps=args.steps, depth=3)
 
-    # --- flagship pipeline (parity config: fc4096, pool encoder, stem1/d3,
-    #     folded tail — the bench.py default) ---
-    n_classes = cfg.n_classes
-    fcn_params = init_fcn8(jax.random.PRNGKey(0), n_classes=n_classes)
-    dae_params = init_dae(
-        jax.random.PRNGKey(1), n_classes=n_classes,
-        h_specs={"pool4": DAE_H_CHANNELS["pool4"]}, depth=3, stem_pool=1,
-    )
-    # the ONE shared pipeline definition (inference/fused.py) — identical to
-    # what bench.py's default run and __graft_entry__.entry() measure
-    flagship = flagship_forward_fn(num_steps=args.steps, depth=3)
+        def refine(fcn_params, dae_params, x):
+            _, y_k = flagship(fcn_params, dae_params, x)
+            return jnp.sum(jnp.argmax(y_k, axis=-1), dtype=jnp.int32)
 
-    def refine(fcn_params, dae_params, x):
-        _, y_k = flagship(fcn_params, dae_params, x)
-        return jnp.sum(jnp.argmax(y_k, axis=-1), dtype=jnp.int32)
+        @jax.jit
+        def pipeline_f32(fcn_params, dae_params, x):
+            return refine(fcn_params, dae_params, x)
 
-    @jax.jit
-    def pipeline_f32(fcn_params, dae_params, x):
-        return refine(fcn_params, dae_params, x)
+        @jax.jit
+        def pipeline_u8(fcn_params, dae_params, x_u8):
+            # the u8 wire mode's on-device ingest: bytes -> normalized f32
+            x = normalize_image(x_u8, cfg, input_scale=255.0)
+            return refine(fcn_params, dae_params, x)
 
-    @jax.jit
-    def pipeline_u8(fcn_params, dae_params, x_u8):
-        # the u8 wire mode's on-device ingest: bytes -> normalized f32
-        x = normalize_image(x_u8, cfg, input_scale=255.0)
-        return refine(fcn_params, dae_params, x)
+        # compile + warm both
+        jax.device_get(pipeline_f32(fcn_params, dae_params, jnp.zeros((B, H, W, 3), jnp.float32)))
+        jax.device_get(pipeline_u8(fcn_params, dae_params, jnp.zeros((B, H, W, 3), jnp.uint8)))
 
-    # compile + warm both
-    jax.device_get(pipeline_f32(fcn_params, dae_params, jnp.zeros((B, H, W, 3), jnp.float32)))
-    jax.device_get(pipeline_u8(fcn_params, dae_params, jnp.zeros((B, H, W, 3), jnp.uint8)))
+        results = {}
+        modes = ["f32", "u8"] if args.wire == "both" else [args.wire]
 
-    results = {}
-    modes = ["f32", "u8"] if args.wire == "both" else [args.wire]
-
-    # --- compute alone, batch resident (bench.py's quantity; f32 ingest) ---
-    xr = jax.device_put(
-        np.ascontiguousarray(next(iter(epoch_batches(raw=False)))[0])
-    )
-    jax.device_get(pipeline_f32(fcn_params, dae_params, xr))
-    t0 = time.perf_counter()
-    acc = None
-    iters = max(args.num_batches * args.epochs, 8)
-    for _ in range(iters):
-        s = pipeline_f32(fcn_params, dae_params, xr)
-        acc = s if acc is None else acc + s
-    jax.device_get(acc)
-    results["compute"] = iters * B / (time.perf_counter() - t0)
-    print(f"compute (resident batch): {results['compute']:.1f} img/s", flush=True)
-    del xr
-
-    for mode in modes:
-        raw = mode == "u8"
-        pipeline = pipeline_u8 if raw else pipeline_f32
-
-        # --- native producer alone ---
-        for rep in range(2):  # rep 0 warms the page cache
-            t0 = time.perf_counter()
-            nb = 0
-            for _img, _lab in epoch_batches(raw):
-                nb += 1
-            dt = time.perf_counter() - t0
-        results[f"producer_{mode}"] = nb * B / dt
-        print(f"[{mode}] producer (native C++ x{args.n_threads} threads): "
-              f"{results[f'producer_{mode}']:.1f} img/s", flush=True)
-
-        # --- transfer alone (device_put each batch, tiny reduce) ---
-        tiny = jax.jit(lambda x: jnp.sum(x[0, 0, 0]).astype(jnp.float32))
-        host_batches = [img.copy() for img, _ in epoch_batches(raw)]
-        jax.device_get(tiny(jax.device_put(host_batches[0])))
+        # --- compute alone, batch resident (bench.py's quantity; f32 ingest) ---
+        xr = jax.device_put(
+            np.ascontiguousarray(next(iter(epoch_batches(raw=False)))[0])
+        )
+        jax.device_get(pipeline_f32(fcn_params, dae_params, xr))
         t0 = time.perf_counter()
         acc = None
-        for img in host_batches:
-            s = tiny(jax.device_put(img))
+        iters = max(args.num_batches * args.epochs, 8)
+        for _ in range(iters):
+            s = pipeline_f32(fcn_params, dae_params, xr)
             acc = s if acc is None else acc + s
         jax.device_get(acc)
-        dt = time.perf_counter() - t0
-        results[f"transfer_{mode}"] = len(host_batches) * B / dt
-        gbs = len(host_batches) * host_batches[0].nbytes / dt / 1e9
-        print(f"[{mode}] transfer (device_put): "
-              f"{results[f'transfer_{mode}']:.1f} img/s ({gbs:.2f} GB/s)", flush=True)
-        del host_batches
+        results["compute"] = iters * B / (time.perf_counter() - t0)
+        print(f"compute (resident batch): {results['compute']:.1f} img/s", flush=True)
+        del xr
 
-        # --- full overlapped e2e serving ---
-        best = 0.0
-        for _ in range(args.epochs):
+        for mode in modes:
+            raw = mode == "u8"
+            pipeline = pipeline_u8 if raw else pipeline_f32
+
+            # --- native producer alone ---
+            for rep in range(2):  # rep 0 warms the page cache
+                t0 = time.perf_counter()
+                nb = 0
+                for _img, _lab in epoch_batches(raw):
+                    nb += 1
+                dt = time.perf_counter() - t0
+            results[f"producer_{mode}"] = nb * B / dt
+            print(f"[{mode}] producer (native C++ x{args.n_threads} threads): "
+                  f"{results[f'producer_{mode}']:.1f} img/s", flush=True)
+
+            # --- transfer alone (device_put each batch, tiny reduce) ---
+            tiny = jax.jit(lambda x: jnp.sum(x[0, 0, 0]).astype(jnp.float32))
+            host_batches = [img.copy() for img, _ in epoch_batches(raw)]
+            jax.device_get(tiny(jax.device_put(host_batches[0])))
             t0 = time.perf_counter()
             acc = None
-            nb = 0
-            for img, _ in device_prefetch(epoch_batches(raw), depth=args.prefetch_depth):
-                s = pipeline(fcn_params, dae_params, img)
+            for img in host_batches:
+                s = tiny(jax.device_put(img))
                 acc = s if acc is None else acc + s
-                nb += 1
             jax.device_get(acc)
             dt = time.perf_counter() - t0
-            best = max(best, nb * B / dt)
-        results[f"e2e_{mode}"] = best
-        print(f"[{mode}] e2e serving (native -> prefetch -> pipeline): "
-              f"{best:.1f} img/s", flush=True)
+            results[f"transfer_{mode}"] = len(host_batches) * B / dt
+            gbs = len(host_batches) * host_batches[0].nbytes / dt / 1e9
+            print(f"[{mode}] transfer (device_put): "
+                  f"{results[f'transfer_{mode}']:.1f} img/s ({gbs:.2f} GB/s)", flush=True)
+            del host_batches
 
-    results = {k: round(v, 1) for k, v in results.items()}
-    print(json.dumps(results))
+            # --- full overlapped e2e serving ---
+            best = 0.0
+            for _ in range(args.epochs):
+                t0 = time.perf_counter()
+                acc = None
+                nb = 0
+                for img, _ in device_prefetch(epoch_batches(raw), depth=args.prefetch_depth):
+                    s = pipeline(fcn_params, dae_params, img)
+                    acc = s if acc is None else acc + s
+                    nb += 1
+                jax.device_get(acc)
+                dt = time.perf_counter() - t0
+                best = max(best, nb * B / dt)
+            results[f"e2e_{mode}"] = best
+            print(f"[{mode}] e2e serving (native -> prefetch -> pipeline): "
+                  f"{best:.1f} img/s", flush=True)
 
-    ds.close()
-    os.unlink(path)
-    return 0
+        results = {k: round(v, 1) for k, v in results.items()}
+        print(json.dumps(results))
+        return 0
+    finally:
+        # always reclaim the synthetic .iist, even if the bench body raises
+        ds.close()
+        os.unlink(path)
 
 
 if __name__ == "__main__":
