@@ -1,8 +1,41 @@
 #!/usr/bin/env python
-"""Training-step throughput on the real TPU (FCN-8 and DAE workloads).
+"""Training-path roofline probe (VERDICT r3 missing #3): batch/crop sweep,
+augmentation itemization, and train-step MXU% for both training workloads
+(FCN-8 and DAE), CamVid shapes, on the real TPU.
 
-Prints one JSON line per workload: images/sec/chip for the full jitted train
-step (forward + backward + adam), CamVid shapes. Relay-safe timing.
+Methodology (the ONLY sanctioned way to time through the relay — CLAUDE.md):
+iterations are chained inside the timed region (params/opt_state of step i
+feed step i+1 and the losses accumulate on-device), then ONE device_get.
+Host-side per-step loops time dispatch, not execution — through this
+relay ``block_until_ready`` does not block.
+
+The sweep resolved ARCHITECTURE's old 135-170 vs 433-438 contradiction:
+both were real, at different values of the hidden variable ``augment``.
+The FCN step at crop-224 b32 runs ~162-178 img/s WITH in-graph
+augmentation (full 360x480 frames in, random crop+flip on-chip) and ~430
+img/s on pre-cropped inputs; the old donation A/B was run pre-cropped.
+At b64 the augmentation cost vanishes (462 vs 451) — the b32+augment
+program is the outlier, not augmentation per se.
+
+FLOPs come from XLA's own cost model: the SAME train step is lowered and
+compiled for CPU in a subprocess (the TPU relay does not expose
+cost_analysis) at a small batch and scaled linearly — convolution/matmul
+FLOPs are exactly linear in batch; the only batch-independent term is the
+optimizer update (<1% of a VGG16 fwd+bwd at these shapes).
+MXU% = flops / (seconds * 197e12)  [v5e bf16 peak, ARCHITECTURE convention].
+
+Usage (real TPU):
+    python tools/train_bench.py --batches 32,64,128 --crops 224
+    python tools/train_bench.py --donate          # donation A/B, chained
+    python tools/train_bench.py --isolate ...     # one subprocess per cell
+Prints one JSON line per (workload, batch, crop, augment) cell.
+
+--isolate exists because an OOM POISONS the process: once a cell exhausts
+HBM, later cells in the same process can spuriously report
+RESOURCE_EXHAUSTED too (the relay does not reliably reclaim after a failed
+allocation burst). Sweeps that may cross the HBM boundary must run each
+(batch, crop, augment) cell in its own process — --isolate does exactly
+that, re-invoking this script per cell and streaming the JSON lines.
 """
 
 from __future__ import annotations
@@ -10,90 +43,240 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+FLOPS_PROBE_BATCH = 4
+V5E_BF16_PEAK = 197e12
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=32)
-    p.add_argument("--iters", type=int, default=10)
-    p.add_argument("--height", type=int, default=360)
-    p.add_argument("--width", type=int, default=480)
-    p.add_argument("--crop", type=int, default=224)
-    p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
-    p.add_argument("--remat", action="store_true")
-    args = p.parse_args()
-
+def build_steps(args, crop, *, augment: bool):
+    """(step_fn, state, extra_args) per workload; shared by timing and the
+    CPU flops probe so both lower the identical program."""
     import dataclasses
+
+    import jax
+    import jax.numpy as jnp
 
     from iterative_inference_segm_tpu.data.config_datasets import CAMVID
     from iterative_inference_segm_tpu.models import init_fcn8
+    from iterative_inference_segm_tpu.models.dae import init_dae, DAE_H_CHANNELS
     from iterative_inference_segm_tpu.train.loop import TrainConfig, make_optimizer
     from iterative_inference_segm_tpu.train.train_fcn8 import make_fcn8_train_step
     from iterative_inference_segm_tpu.train.train_dae import make_dae_train_step
 
-    cfg = dataclasses.replace(CAMVID, train_crop=(args.crop, args.crop))
+    cfg = dataclasses.replace(CAMVID, train_crop=(crop, crop))
     tcfg = TrainConfig(
         learning_rate=1e-3,
         compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
         remat=args.remat,
     )
     tx = make_optimizer(tcfg)
+    return cfg, tcfg, tx, init_fcn8, init_dae, DAE_H_CHANNELS, \
+        make_fcn8_train_step, make_dae_train_step
 
+
+def make_cells(args, batch, crop, augment):
+    """Returns [(label, step_fn, state, extra_args)] for the two workloads.
+
+    With augment=True the step receives full 360x480 frames and crops/flips
+    in-graph (the training-loop configuration); with augment=False it
+    receives pre-cropped frames — the difference isolates the in-graph
+    augmentation + full-frame-normalize cost.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    (cfg, tcfg, tx, init_fcn8, init_dae, DAE_H_CHANNELS,
+     make_fcn8_train_step, make_dae_train_step) = build_steps(args, crop, augment=augment)
+
+    h, w = (args.height, args.width) if augment else (crop, crop)
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.random((args.batch, args.height, args.width, 3), np.float32))
-    labels = jnp.asarray(rng.integers(0, cfg.n_classes, (args.batch, args.height, args.width)).astype(np.int32))
+    images = jnp.asarray(rng.random((batch, h, w, 3), np.float32))
+    labels = jnp.asarray(rng.integers(0, cfg.n_classes, (batch, h, w)).astype(np.int32))
 
-    def timed(step_fn, state, extra_args, label):
+    cells = []
+    fcn_params = init_fcn8(jax.random.PRNGKey(0), n_classes=cfg.n_classes)
+    fcn_step, _ = make_fcn8_train_step(cfg, tcfg, tx, augment=augment)
+    if args.donate:
+        base_step = fcn_step  # bind BEFORE rebinding fcn_step (self-capture)
+        fcn_step = jax.jit(
+            lambda p, o, x, y, r: base_step(p, o, x, y, r), donate_argnums=(0, 1)
+        )
+    cells.append((
+        "FCN-8", fcn_step, (fcn_params, tx.init(fcn_params)), (images, labels),
+    ))
+
+    if not args.donate:  # donation A/B only re-measures the FCN step
+        dae_params = init_dae(
+            jax.random.PRNGKey(1), n_classes=cfg.n_classes,
+            h_specs={"pool4": DAE_H_CHANNELS["pool4"]}, depth=3, stem_pool=1,
+        )
+        dae_step, _ = make_dae_train_step(
+            cfg, tcfg, tx, h_taps=("pool4",), sigma=1.0, from_gt=True,
+            dae_depth=3, augment=augment,
+        )
+        cells.append((
+            "DAE(stem1,d3)",
+            lambda p, o, f, im, lb, r: dae_step(p, o, f, im, lb, r),
+            (dae_params, tx.init(dae_params)), (fcn_params, images, labels),
+        ))
+    return cells
+
+
+def flops_probe(args):
+    """Internal mode: force CPU, compile each cell at FLOPS_PROBE_BATCH,
+    print {label: flops} as one JSON line."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    out = {}
+    for crop in args.crops:
+        for augment in _augment_settings(args):
+            for label, step, state, extra in make_cells(args, FLOPS_PROBE_BATCH, crop, augment):
+                params, opt_state = state
+                lowered = jax.jit(step).lower(
+                    params, opt_state, *extra, jax.random.PRNGKey(0)
+                )
+                fl = lowered.compile().cost_analysis()["flops"]
+                out[f"{label}|{crop}|aug={int(augment)}"] = float(fl)
+    print("FLOPS_JSON " + json.dumps(out), flush=True)
+
+
+def _augment_settings(args):
+    if args.donate or args.augment == "on":
+        return [True]
+    if args.augment == "off":
+        return [False]
+    return [True, False]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", type=str, default="32")
+    p.add_argument("--crops", type=str, default="224")
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--height", type=int, default=360)
+    p.add_argument("--width", type=int, default=480)
+    p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--donate", action="store_true",
+                   help="A/B buffer donation on the FCN step (chained timing)")
+    p.add_argument("--no-flops", action="store_true",
+                   help="skip the CPU cost-analysis subprocess (no MXU%%)")
+    p.add_argument("--augment", choices=["both", "on", "off"], default="both",
+                   help="which augmentation settings to sweep (donate forces 'on')")
+    p.add_argument("--isolate", action="store_true",
+                   help="run each (batch, crop, augment) cell in its own "
+                        "subprocess — REQUIRED for sweeps that may OOM (see docstring)")
+    p.add_argument("--_flops-probe", action="store_true", help=argparse.SUPPRESS)
+    args = p.parse_args()
+    args.batches = [int(b) for b in args.batches.split(",")]
+    args.crops = [int(c) for c in args.crops.split(",")]
+
+    if getattr(args, "_flops_probe"):
+        flops_probe(args)
+        return
+
+    if args.isolate:
+        for crop in args.crops:
+            for augment in _augment_settings(args):
+                for batch in args.batches:
+                    cmd = [sys.executable, os.path.abspath(__file__),
+                           "--batches", str(batch), "--crops", str(crop),
+                           "--augment", "on" if augment else "off",
+                           "--iters", str(args.iters), "--dtype", args.dtype,
+                           "--height", str(args.height), "--width", str(args.width)]
+                    if args.remat:
+                        cmd.append("--remat")
+                    if args.donate:
+                        cmd.append("--donate")
+                    if args.no_flops:
+                        cmd.append("--no-flops")
+                    r = subprocess.run(cmd, timeout=3600)
+                    if r.returncode:
+                        print(json.dumps({
+                            "metric": f"cell FAILED (crop {crop}, batch={batch}, "
+                                      f"augment={augment}, remat={args.remat})",
+                            "value": None, "rc": r.returncode,
+                        }), flush=True)
+        return
+
+    flops_per_img = {}
+    if not args.no_flops:
+        cmd = [sys.executable, os.path.abspath(__file__), "--_flops-probe",
+               "--crops", ",".join(map(str, args.crops)), "--dtype", args.dtype,
+               "--augment", args.augment,
+               "--height", str(args.height), "--width", str(args.width)]
+        if args.remat:
+            cmd.append("--remat")
+        if args.donate:
+            cmd.append("--donate")
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+        line = next((l for l in res.stdout.splitlines() if l.startswith("FLOPS_JSON ")), None)
+        if line is None:
+            print(f"flops probe failed: {res.stderr[-500:]}", file=sys.stderr)
+        else:
+            flops_per_img = {
+                k: v / FLOPS_PROBE_BATCH for k, v in json.loads(line[len("FLOPS_JSON "):]).items()
+            }
+
+    import jax
+
+    def timed(step_fn, state, extra_args, label, batch, crop, augment):
         params, opt_state = state
-        # compile
-        out = step_fn(params, opt_state, *extra_args, jax.random.PRNGKey(0))
-        jax.device_get(out[2])
+        out = step_fn(params, opt_state, *extra_args, jax.random.PRNGKey(0))  # compile
+        jax.device_get(out[2])  # first exec done before the timed region
+        # donated buffers invalidate the originals: chain from the outputs
+        p_, o_ = (out[0], out[1]) if args.donate else (params, opt_state)
         t0 = time.perf_counter()
         acc = None
-        p_, o_ = params, opt_state
         for i in range(args.iters):
             p_, o_, loss = step_fn(p_, o_, *extra_args, jax.random.fold_in(jax.random.PRNGKey(1), i))
             acc = loss if acc is None else acc + loss
         jax.device_get(acc)
         per = (time.perf_counter() - t0) / args.iters
-        print(json.dumps({
-            "metric": f"train images/sec/chip ({label}, crop {args.crop}, {args.dtype}, batch={args.batch})",
-            "value": round(args.batch / per, 2),
+        rec = {
+            "metric": f"train images/sec/chip ({label}, crop {crop}, {args.dtype}, "
+                      f"batch={batch}, augment={augment}"
+                      + (", donate" if args.donate else "") + ")",
+            "value": round(batch / per, 2),
             "unit": "images/sec/chip",
-        }), flush=True)
+            "ms_per_img": round(1e3 * per / batch, 4),
+        }
+        key = f"{label}|{crop}|aug={int(augment)}"
+        if key in flops_per_img:
+            fl = flops_per_img[key]
+            rec["gflops_per_img"] = round(fl / 1e9, 2)
+            rec["mxu_pct"] = round(100.0 * fl * batch / (per * V5E_BF16_PEAK), 1)
+        print(json.dumps(rec), flush=True)
 
-    fcn_params = init_fcn8(jax.random.PRNGKey(0), n_classes=cfg.n_classes)
-    fcn_step, _ = make_fcn8_train_step(cfg, tcfg, tx)
-    timed(
-        lambda p, o, im, lb, r: fcn_step(p, o, im, lb, r),
-        (fcn_params, tx.init(fcn_params)),
-        (images, labels),
-        "FCN-8",
-    )
-
-    from iterative_inference_segm_tpu.models.dae import init_dae, DAE_H_CHANNELS
-
-    dae_params = init_dae(
-        jax.random.PRNGKey(1), n_classes=cfg.n_classes,
-        h_specs={"pool4": DAE_H_CHANNELS["pool4"]}, depth=3, stem_pool=1,
-    )
-    dae_step, _ = make_dae_train_step(
-        cfg, tcfg, tx, h_taps=("pool4",), sigma=1.0, from_gt=True, dae_depth=3
-    )
-    timed(
-        lambda p, o, f, im, lb, r: dae_step(p, o, f, im, lb, r),
-        (dae_params, tx.init(dae_params)),
-        (fcn_params, images, labels),
-        "DAE(stem1,d3)",
-    )
+    for crop in args.crops:
+        for augment in _augment_settings(args):
+            for batch in args.batches:
+                # OOM can fire at input device_put inside make_cells, not
+                # just inside the step — cover the whole cell.
+                try:
+                    for label, step, state, extra in make_cells(args, batch, crop, augment):
+                        timed(step, state, extra, label, batch, crop, augment)
+                except jax.errors.JaxRuntimeError as e:
+                    if "RESOURCE_EXHAUSTED" not in str(e):
+                        raise
+                    # HBM cell boundary is itself a measurement: record
+                    # it and keep sweeping (remat moves the boundary)
+                    print(json.dumps({
+                        "metric": f"train OOM (crop {crop}, "
+                                  f"{args.dtype}, batch={batch}, "
+                                  f"augment={augment}, "
+                                  f"remat={args.remat})",
+                        "value": None, "unit": "images/sec/chip",
+                        "oom": True,
+                    }), flush=True)
 
 
 if __name__ == "__main__":
