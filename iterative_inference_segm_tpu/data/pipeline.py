@@ -61,6 +61,13 @@ def random_crop_and_flip(
         lab_c = jnp.where(fl, lab_c[:, ::-1], lab_c)
         return img_c, lab_c
 
+    # No materialization barrier needed: measured in the FULL train step
+    # with warmed best-of-3 timing (tools/aug_step_probe.py, 2026-08-18,
+    # v5e), in-graph crop+flip costs <2% vs pre-cropped inputs at b64
+    # (crop-128: 1295 vs 1317 img/s; crop-224: 464 vs 464), and adding an
+    # optimization_barrier after the crop is neutral. (An earlier "3x
+    # augmentation cost / barrier win" was a per-process warm-up
+    # measurement artifact — see the probe's docstring.)
     return jax.vmap(one)(image, labels, oy, ox, flip)
 
 

@@ -182,3 +182,4 @@ def test_epoch_reshuffled_fresh_order_each_epoch():
     data_b = epoch_reshuffled(make, base_seed=7)
     assert order(data_b()) == e1
     assert order(data_b()) == e2
+

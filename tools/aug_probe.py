@@ -1,13 +1,20 @@
 #!/usr/bin/env python
 """In-graph augmentation micro-probe (VERDICT r3 missing #3 follow-up).
 
-train_bench.py showed the augment=True cells fall far off the no-augment
-line at small crops (FCN crop-128 b64: 397 vs 1327 img/s) and at b32
-(150 vs ~430). The augmentation is `random_crop_and_flip`
-(data/pipeline.py): a vmapped `dynamic_slice` per sample plus a
-`where`-selected flip — both lower to gathers on TPU. This probe times
-the augmentation step ALONE at training shapes against re-formulations
-that produce BITWISE-identical outputs from the same RNG draws:
+POSTSCRIPT (read first): the "augment=True cells fall 3x off the
+no-augment line" observation that motivated this probe turned out to be
+a per-process warm-up measurement artifact, not a property of the
+program — see tools/train_bench.py's docstring and aug_step_probe.py.
+With warmed best-of-3 timing the in-graph augmentation costs <2% of the
+full train step at b64. This probe's standalone numbers below remain
+valid (and consistent: the augmentation alone is ~0.02-0.05 ms/img, far
+too cheap to explain the artifact that was chased).
+
+The augmentation is `random_crop_and_flip` (data/pipeline.py): a vmapped
+`dynamic_slice` per sample plus a `where`-selected flip — both lower to
+gathers on TPU. This probe times the augmentation step ALONE at training
+shapes against re-formulations that produce BITWISE-identical outputs
+from the same RNG draws:
 
   A. current      vmap(dynamic_slice) + where(flip, reversed, cropped)
   B. gather2      take_along_axis rows then cols, flip folded into the

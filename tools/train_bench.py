@@ -10,12 +10,15 @@ Host-side per-step loops time dispatch, not execution — through this
 relay ``block_until_ready`` does not block.
 
 The sweep resolved ARCHITECTURE's old 135-170 vs 433-438 contradiction:
-both were real, at different values of the hidden variable ``augment``.
-The FCN step at crop-224 b32 runs ~162-178 img/s WITH in-graph
-augmentation (full 360x480 frames in, random crop+flip on-chip) and ~430
-img/s on pre-cropped inputs; the old donation A/B was run pre-cropped.
-At b64 the augmentation cost vanishes (462 vs 451) — the b32+augment
-program is the outlier, not augmentation per se.
+the hidden variable was measurement WARM-UP, not the program. The first
+timed cell of every fresh process runs ~3-4x slow on this relay (one
+warm-up execution does not clear it; the ramp takes a few seconds of
+actual execution), so single-pass timings penalized whichever cell ran
+first — 135-170 were cold first-cell readings, 433+ were warmed ones.
+``timed()`` therefore takes best-of-3 chained loops (order-independent).
+With warmed timing, in-graph augmentation (full 360x480 frames in,
+normalize + random crop + flip on-chip) costs <2% vs pre-cropped inputs
+at b64 (tools/aug_step_probe.py), and no materialization barrier helps.
 
 FLOPs come from XLA's own cost model: the SAME train step is lowered and
 compiled for CPU in a subprocess (the TPU relay does not expose
@@ -184,6 +187,24 @@ def main():
         return
 
     if args.isolate:
+        flops_env = dict(os.environ)
+        if not args.no_flops:
+            cmd = [sys.executable, os.path.abspath(__file__), "--_flops-probe",
+                   "--crops", ",".join(map(str, args.crops)), "--dtype", args.dtype,
+                   "--augment", args.augment,
+                   "--height", str(args.height), "--width", str(args.width)]
+            if args.remat:
+                cmd.append("--remat")
+            if args.donate:
+                cmd.append("--donate")
+            res = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+            line = next((l for l in res.stdout.splitlines()
+                         if l.startswith("FLOPS_JSON ")), None)
+            if line is not None:
+                flops_env["TRAIN_BENCH_FLOPS_JSON"] = json.dumps({
+                    k: v / FLOPS_PROBE_BATCH
+                    for k, v in json.loads(line[len("FLOPS_JSON "):]).items()
+                })
         for crop in args.crops:
             for augment in _augment_settings(args):
                 for batch in args.batches:
@@ -198,7 +219,7 @@ def main():
                         cmd.append("--donate")
                     if args.no_flops:
                         cmd.append("--no-flops")
-                    r = subprocess.run(cmd, timeout=3600)
+                    r = subprocess.run(cmd, timeout=3600, env=flops_env)
                     if r.returncode:
                         print(json.dumps({
                             "metric": f"cell FAILED (crop {crop}, batch={batch}, "
@@ -207,8 +228,9 @@ def main():
                         }), flush=True)
         return
 
-    flops_per_img = {}
-    if not args.no_flops:
+    # an --isolate parent computes flops ONCE and hands them down via env
+    flops_per_img = json.loads(os.environ.get("TRAIN_BENCH_FLOPS_JSON", "{}"))
+    if not flops_per_img and not args.no_flops:
         cmd = [sys.executable, os.path.abspath(__file__), "--_flops-probe",
                "--crops", ",".join(map(str, args.crops)), "--dtype", args.dtype,
                "--augment", args.augment,
@@ -229,18 +251,28 @@ def main():
     import jax
 
     def timed(step_fn, state, extra_args, label, batch, crop, augment):
+        # BEST-OF-3 repeats of the chained loop: the first seconds of TPU
+        # execution in a fresh process run ~3-4x slow (a relay/chip ramp
+        # measured 2026-08-18 — the first timed cell of EVERY process sat
+        # at ~150-400 img/s while identical programs timed later in the
+        # same process hit 1300+; one warm-up exec is NOT enough). A single
+        # timing pass systematically penalizes whichever cell runs first —
+        # this was the entire "augmentation is slow" artifact and the old
+        # 135-170 vs 433-438 contradiction. min-of-3 is order-independent.
         params, opt_state = state
         out = step_fn(params, opt_state, *extra_args, jax.random.PRNGKey(0))  # compile
         jax.device_get(out[2])  # first exec done before the timed region
         # donated buffers invalidate the originals: chain from the outputs
         p_, o_ = (out[0], out[1]) if args.donate else (params, opt_state)
-        t0 = time.perf_counter()
-        acc = None
-        for i in range(args.iters):
-            p_, o_, loss = step_fn(p_, o_, *extra_args, jax.random.fold_in(jax.random.PRNGKey(1), i))
-            acc = loss if acc is None else acc + loss
-        jax.device_get(acc)
-        per = (time.perf_counter() - t0) / args.iters
+        per = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            acc = None
+            for i in range(args.iters):
+                p_, o_, loss = step_fn(p_, o_, *extra_args, jax.random.fold_in(jax.random.PRNGKey(1), i))
+                acc = loss if acc is None else acc + loss
+            jax.device_get(acc)
+            per = min(per, (time.perf_counter() - t0) / args.iters)
         rec = {
             "metric": f"train images/sec/chip ({label}, crop {crop}, {args.dtype}, "
                       f"batch={batch}, augment={augment}"
