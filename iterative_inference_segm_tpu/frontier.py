@@ -23,7 +23,7 @@ FRONTIER: tuple[tuple[str, float, float | None, str], ...] = (
      "fc512 + stride encoder, stem1/d3 (fc6 width is the one topology deviation)"),
     ("quarter parity-topology", 835.1, 7.62,
      "half engine at stem_pool=2, pool encoder, fc4096"),
-    ("quarter composed", 1036.9, 6.24,
+    ("quarter composed", 1062.2, 6.24,
      "fc512 + stride + stem_pool=2/d3 — the >=1000 north-star crossing (--preset fast)"),
     ("general bf16", 585.0, 10.4,
      "reference-semantics full-res scan, bf16 carry (demo gain is the stem0/d4 DAE's)"),
