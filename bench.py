@@ -27,17 +27,21 @@ import sys
 import time
 
 # Ratchet: round 1 measured 0.512x; round 2 landed 0.716x; round 3's folded
-# per-step tail lands 0.7214x. Floor 0.70 leaves ~3% headroom below the
-# measured value — run-to-run variance of this harness is ±0.3% (five
-# same-code runs across r2/r3: 715.57-715.98), so the margin is ~10x the
-# observed noise while still catching any real regression of the r3 wins
-# (ADVICE r2: document the margin). Raise whenever a round's bench beats
-# the floor with ≥3% to spare.
-PERF_FLOOR = 0.70
+# per-step tail lands 0.7214x; rounds 3-4 held 0.719-0.7226 across seven
+# runs (incl. the r4 judge's independent 0.7220). Floor 0.715 (raised r5
+# per the stated policy — three rounds with >=3% spare at 0.70) leaves
+# ~0.7-1.1% headroom below the measured band; run-to-run variance of this
+# harness is ±0.3% on an idle host, so a regression that eats the r2-r3
+# tail work (e.g. back to the unfolded 715.8) now FAILS the gate. NOTE:
+# the margin assumes an idle host — a concurrent CPU-bound job costs ~7%
+# (CLAUDE.md) and will trip the gate; that is intended behavior, re-run
+# idle. Raise whenever a round's bench beats the floor with >=3% to spare.
+PERF_FLOOR = 0.715
 # Fast-line gate (VERDICT r3 #4): the composed >1000 config (--preset fast =
 # fc512 + stride encoder + quarter engine) measured 1036.9-1079 across its
-# r3 runs; floor 1.00 keeps the north-star crossing itself gated with ~3.5%
-# headroom below the weakest measurement.
+# r3 runs and 1061.3-1062.2 in r4 (judge-reproduced); floor 1.00 keeps the
+# north-star crossing itself gated with ~3.5% headroom below the weakest
+# measurement (~5.8% below the r4 band).
 FAST_PERF_FLOOR = 1.00
 
 
