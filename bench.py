@@ -61,7 +61,9 @@ def main() -> int:
     # faster. Both configs demonstrably deliver the refinement capability.
     p.add_argument("--dae-stem-pool", type=int, default=1,
                    help="DAE stem pooling levels (0 = classic full-res encoder)")
-    p.add_argument("--dae-depth", type=int, default=3)
+    p.add_argument("--dae-depth", type=int, default=None,
+                   help="score-network depth (default 3 for --arch dae, "
+                        "4 for --arch mirror — each arch's shipped config)")
     p.add_argument("--dae-widths", nargs="*", type=int, default=None,
                    help="encoder channel widths (default from models.dae)")
     p.add_argument("--dae-encoder", choices=["pool", "stride"], default="pool",
@@ -70,6 +72,16 @@ def main() -> int:
     p.add_argument("--dae-tail", choices=["full", "sep"], default="full",
                    help="refinement tail: dense CxC (round-1) or separable "
                         "(depthwise up + depthwise 3x3 + 1x1 mix)")
+    p.add_argument("--arch", choices=["dae", "mirror"], default="dae",
+                   help="score network: 'dae' (TPU score-fusion flagship) or "
+                        "'mirror' (strict-parity conv/pool <-> unpool/conv "
+                        "architecture, models/dae_mirror.py; requires "
+                        "--engine general — it has no pooled-stem variant)")
+    p.add_argument("--mode", choices=["score", "energy"], default="score",
+                   help="refinement update: direct score (y - r(y,h)) or "
+                        "energy (grad through the DAE of 0.5*||y - r||^2, "
+                        "the reference's T.grad formulation); half/quarter "
+                        "and general engines both support either")
     p.add_argument("--engine", choices=["general", "half", "fused"], default="half",
                    help="refinement engine: 'general' = full-fidelity lax.scan "
                         "over dae_apply (reference semantics); 'half' = K steps "
@@ -103,6 +115,17 @@ def main() -> int:
         args.dae_depth = 3
         args.engine = "half"
         args.dae_tail = "full"
+        args.arch = "dae"
+        args.mode = "score"
+    if args.arch == "mirror" and args.engine != "general":
+        raise SystemExit("--arch mirror requires --engine general (the mirror "
+                         "architecture is full-res only — no pooled stem)")
+    if args.mode == "energy" and args.engine == "fused":
+        raise SystemExit("--mode energy is not supported by the fused "
+                         "phase-major experiment (score only)")
+    arch_default_depth = 4 if args.arch == "mirror" else 3
+    if args.dae_depth is None:
+        args.dae_depth = arch_default_depth
 
     import jax
     import jax.numpy as jnp
@@ -124,15 +147,26 @@ def main() -> int:
     fcn_params = init_fcn8(
         jax.random.PRNGKey(0), n_classes=n_classes, fc_channels=args.fc_channels
     )
-    dae_params = init_dae(
-        jax.random.PRNGKey(1),
-        n_classes=n_classes,
-        h_specs={"pool4": DAE_H_CHANNELS["pool4"]},
-        depth=args.dae_depth,
-        stem_pool=args.dae_stem_pool,
-        tail=args.dae_tail,
-        **({"widths": tuple(args.dae_widths)} if args.dae_widths else {}),
-    )
+    if args.arch == "mirror":
+        from iterative_inference_segm_tpu.models.dae_mirror import init_mirror_dae
+
+        dae_params = init_mirror_dae(
+            jax.random.PRNGKey(1),
+            n_classes=n_classes,
+            h_specs={"pool4": DAE_H_CHANNELS["pool4"]},
+            depth=args.dae_depth,
+            **({"widths": tuple(args.dae_widths)} if args.dae_widths else {}),
+        )
+    else:
+        dae_params = init_dae(
+            jax.random.PRNGKey(1),
+            n_classes=n_classes,
+            h_specs={"pool4": DAE_H_CHANNELS["pool4"]},
+            depth=args.dae_depth,
+            stem_pool=args.dae_stem_pool,
+            tail=args.dae_tail,
+            **({"widths": tuple(args.dae_widths)} if args.dae_widths else {}),
+        )
     if args.engine == "fused" and (args.dae_tail != "sep" or args.dae_stem_pool != 1):
         raise SystemExit("--engine fused requires --dae-tail sep --dae-stem-pool 1")
     if args.engine == "half" and args.dae_stem_pool < 1:
@@ -147,11 +181,15 @@ def main() -> int:
         # function __graft_entry__.entry() and tools/serve_bench.py measure
         from iterative_inference_segm_tpu.inference.fused import flagship_forward_fn
 
-        fold = args.dae_tail == "full" and not args.no_fold_tail
+        # the folded per-step tail is a score-mode algebra (fold_half_tail's
+        # reassociation has no energy-mode analogue — halfres_refine rejects
+        # the combination), so energy runs unfolded
+        fold = (args.dae_tail == "full" and not args.no_fold_tail
+                and args.mode == "score")
         forward = flagship_forward_fn(
             num_steps=args.steps, depth=args.dae_depth,
             compute_dtype=compute_dtype, state_dtype=state_dtype,
-            encoder=args.dae_encoder, fold_tail=fold,
+            encoder=args.dae_encoder, mode=args.mode, fold_tail=fold,
         )
 
         @jax.jit
@@ -189,19 +227,33 @@ def main() -> int:
             return jnp.sum(pred, dtype=jnp.int32)
     else:
 
+        if args.arch == "mirror":
+            from iterative_inference_segm_tpu.models.dae_mirror import mirror_dae_apply
+
+            def score_fn(dae_params, y, h):
+                return mirror_dae_apply(
+                    dae_params, y, h, depth=args.dae_depth,
+                    compute_dtype=compute_dtype, out_dtype=state_dtype,
+                )
+        else:
+
+            def score_fn(dae_params, y, h):
+                return dae_apply(
+                    dae_params, y, h, depth=args.dae_depth,
+                    compute_dtype=compute_dtype, out_dtype=state_dtype,
+                    encoder=args.dae_encoder,
+                )
+
         @jax.jit
         def pipeline(fcn_params, dae_params, x):
             y0, h = fcn8_apply(
                 fcn_params, x, return_features=("pool4",), compute_dtype=compute_dtype,
                 probs_dtype=state_dtype,
             )
-            dae_fn = lambda y: dae_apply(
-                dae_params, y, h, depth=args.dae_depth, compute_dtype=compute_dtype,
-                out_dtype=state_dtype, encoder=args.dae_encoder,
-            )
+            dae_fn = lambda y: score_fn(dae_params, y, h)
             y_k = refinement_scan(
                 dae_fn, y0.astype(state_dtype), eps=jnp.asarray(0.1, state_dtype),
-                num_steps=args.steps, mode="score",
+                num_steps=args.steps, mode=args.mode,
             )
             pred = jnp.argmax(y_k, axis=-1)
             # tiny on-device summary: timing syncs on a scalar device->host fetch
@@ -247,8 +299,12 @@ def main() -> int:
         cfg_bits += f", enc={args.dae_encoder}"
     if args.dae_stem_pool != 1:
         cfg_bits += f", sp={args.dae_stem_pool}"
-    if args.dae_depth != 3:
+    if args.dae_depth != arch_default_depth:
         cfg_bits += f", depth={args.dae_depth}"
+    if args.arch != "dae":
+        cfg_bits += f", arch={args.arch}"
+    if args.mode != "score":
+        cfg_bits += f", mode={args.mode}"
     if args.no_fold_tail and args.engine == "half" and args.dae_tail == "full":
         cfg_bits += ", nofold"  # only when the fold would otherwise be active
     if args.state_dtype != "compute":

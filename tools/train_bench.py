@@ -177,6 +177,9 @@ def main():
     p.add_argument("--isolate", action="store_true",
                    help="run each (batch, crop, augment) cell in its own "
                         "subprocess — REQUIRED for sweeps that may OOM (see docstring)")
+    p.add_argument("--no-history", action="store_true",
+                   help="skip appending measurement lines to TRAIN_HISTORY.jsonl "
+                        "(VERDICT r4 weak #2: sweeps must leave a durable artifact)")
     p.add_argument("--_flops-probe", action="store_true", help=argparse.SUPPRESS)
     args = p.parse_args()
     args.batches = [int(b) for b in args.batches.split(",")]
@@ -219,6 +222,8 @@ def main():
                         cmd.append("--donate")
                     if args.no_flops:
                         cmd.append("--no-flops")
+                    if args.no_history:
+                        cmd.append("--no-history")
                     r = subprocess.run(cmd, timeout=3600, env=flops_env)
                     if r.returncode:
                         print(json.dumps({
@@ -250,6 +255,18 @@ def main():
 
     import jax
 
+    def record(rec):
+        # Durable artifact for every measured cell (VERDICT r4 weak #2: the
+        # r4 sweep's numbers survived only in comments/commit messages).
+        print(json.dumps(rec), flush=True)
+        if not args.no_history:
+            hist = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "TRAIN_HISTORY.jsonl",
+            )
+            with open(hist, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
     def timed(step_fn, state, extra_args, label, batch, crop, augment):
         # BEST-OF-3 repeats of the chained loop: the first seconds of TPU
         # execution in a fresh process run ~3-4x slow (a relay/chip ramp
@@ -276,7 +293,8 @@ def main():
         rec = {
             "metric": f"train images/sec/chip ({label}, crop {crop}, {args.dtype}, "
                       f"batch={batch}, augment={augment}"
-                      + (", donate" if args.donate else "") + ")",
+                      + (", donate" if args.donate else "")
+                      + (", remat" if args.remat else "") + ")",
             "value": round(batch / per, 2),
             "unit": "images/sec/chip",
             "ms_per_img": round(1e3 * per / batch, 4),
@@ -286,7 +304,7 @@ def main():
             fl = flops_per_img[key]
             rec["gflops_per_img"] = round(fl / 1e9, 2)
             rec["mxu_pct"] = round(100.0 * fl * batch / (per * V5E_BF16_PEAK), 1)
-        print(json.dumps(rec), flush=True)
+        record(rec)
 
     for crop in args.crops:
         for augment in _augment_settings(args):
@@ -301,14 +319,14 @@ def main():
                         raise
                     # HBM cell boundary is itself a measurement: record
                     # it and keep sweeping (remat moves the boundary)
-                    print(json.dumps({
+                    record({
                         "metric": f"train OOM (crop {crop}, "
                                   f"{args.dtype}, batch={batch}, "
                                   f"augment={augment}, "
                                   f"remat={args.remat})",
                         "value": None, "unit": "images/sec/chip",
                         "oom": True,
-                    }), flush=True)
+                    })
 
 
 if __name__ == "__main__":
