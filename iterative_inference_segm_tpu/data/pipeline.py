@@ -67,7 +67,10 @@ def random_crop_and_flip(
     # (crop-128: 1295 vs 1317 img/s; crop-224: 464 vs 464), and adding an
     # optimization_barrier after the crop is neutral. (An earlier "3x
     # augmentation cost / barrier win" was a per-process warm-up
-    # measurement artifact — see the probe's docstring.)
+    # measurement artifact — see the probe's docstring.) The <2% result is
+    # b64-specific: the r5 roofline sweep found -26% at crop-128 b128/b256
+    # (TRAIN_HISTORY.jsonl; ARCHITECTURE.md "Training-path roofline") —
+    # tools/aug_order_probe.py A/Bs the crop-before-normalize orders.
     return jax.vmap(one)(image, labels, oy, ox, flip)
 
 
