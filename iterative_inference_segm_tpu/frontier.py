@@ -29,6 +29,10 @@ FRONTIER: tuple[tuple[str, float, float | None, str], ...] = (
      "reference-semantics full-res scan, bf16 carry (demo gain is the stem0/d4 DAE's)"),
     ("general strict-f32", 136.0, None,
      "all-f32 HIGHEST — the adjudicating parity numerics (PARITY.md §5)"),
+    ("mirror parity-arch", 441.5, 7.79,
+     "strict-parity conv/pool <-> unpool/conv DAE (models/dae_mirror.py), general engine"),
+    ("energy quarter", 748.0, 7.76,
+     "grad-through-the-DAE update, half engine at stem_pool=2 (unfolded tail)"),
 )
 
 

@@ -43,6 +43,8 @@ MATCHERS = {
     "quarter composed": ("bf16", "half", {"fc": "512", "enc": "stride", "sp": "2"}),
     "general bf16": ("bf16", "general", {}),
     "general strict-f32": ("f32", "general", {}),
+    "mirror parity-arch": ("bf16", "general", {"arch": "mirror"}),
+    "energy quarter": ("bf16", "half", {"sp": "2", "mode": "energy"}),
 }
 
 _METRIC_RE = re.compile(
