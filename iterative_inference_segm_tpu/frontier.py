@@ -31,6 +31,8 @@ FRONTIER: tuple[tuple[str, float, float | None, str], ...] = (
      "all-f32 HIGHEST — the adjudicating parity numerics (PARITY.md §5)"),
     ("mirror parity-arch", 441.5, 7.79,
      "strict-parity conv/pool <-> unpool/conv DAE (models/dae_mirror.py), general engine"),
+    ("energy half", 536.8, 9.81,
+     "grad-through-the-DAE update, half engine (unfolded tail — the fold is score-mode algebra)"),
     ("energy quarter", 748.0, 7.76,
      "grad-through-the-DAE update, half engine at stem_pool=2 (unfolded tail)"),
 )

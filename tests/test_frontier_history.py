@@ -44,6 +44,7 @@ MATCHERS = {
     "general bf16": ("bf16", "general", {}),
     "general strict-f32": ("f32", "general", {}),
     "mirror parity-arch": ("bf16", "general", {"arch": "mirror"}),
+    "energy half": ("bf16", "half", {"mode": "energy"}),
     "energy quarter": ("bf16", "half", {"sp": "2", "mode": "energy"}),
 }
 
