@@ -54,24 +54,24 @@ def random_crop_and_flip(
     ox = jax.random.randint(jax.random.fold_in(k_off, 1), (b,), 0, w - cw + 1)
     flip = jax.random.bernoulli(k_flip, 0.5, (b,))
 
-    def one(img, lab, oy, ox, fl):
-        img_c = jax.lax.dynamic_slice(img, (oy, ox, 0), (ch, cw, img.shape[-1]))
-        lab_c = jax.lax.dynamic_slice(lab, (oy, ox), (ch, cw))
-        img_c = jnp.where(fl, img_c[:, ::-1, :], img_c)
-        lab_c = jnp.where(fl, lab_c[:, ::-1], lab_c)
-        return img_c, lab_c
-
-    # No materialization barrier needed: measured in the FULL train step
-    # with warmed best-of-3 timing (tools/aug_step_probe.py, 2026-08-18,
-    # v5e), in-graph crop+flip costs <2% vs pre-cropped inputs at b64
-    # (crop-128: 1295 vs 1317 img/s; crop-224: 464 vs 464), and adding an
-    # optimization_barrier after the crop is neutral. (An earlier "3x
-    # augmentation cost / barrier win" was a per-process warm-up
-    # measurement artifact — see the probe's docstring.) The <2% result is
-    # b64-specific: the r5 roofline sweep found -26% at crop-128 b128/b256
-    # (TRAIN_HISTORY.jsonl; ARCHITECTURE.md "Training-path roofline") —
-    # tools/aug_order_probe.py A/Bs the crop-before-normalize orders.
-    return jax.vmap(one)(image, labels, oy, ox, flip)
+    # Separable row/column take_along_axis with the flip folded into the
+    # column indices. The natural vmapped-dynamic_slice formulation lowers
+    # to a per-sample offset gather that costs ~26% of the FULL train step
+    # at crop-128 b128 (tools/aug_order_probe.py, r5: dynslice 1176 img/s
+    # vs this form 1539 vs pre-cropped floor 1611); indexing rows then
+    # columns keeps each gather on a sublane axis (never the lane/channel
+    # dim) and the folded flip removes the whole-crop `where` pass. Element
+    # selection is identical to crop-then-flip — outputs are bit-equal to
+    # the dynamic_slice form (pinned by test_data.py), and normalize/crop
+    # order is measured neutral so callers need not change.
+    rows = oy[:, None] + jnp.arange(ch)
+    cols = ox[:, None] + jnp.arange(cw)
+    cols = jnp.where(flip[:, None], cols[:, ::-1], cols)
+    img_r = jnp.take_along_axis(image, rows[:, :, None, None], axis=1)
+    img_c = jnp.take_along_axis(img_r, cols[:, None, :, None], axis=2)
+    lab_r = jnp.take_along_axis(labels, rows[:, :, None], axis=1)
+    lab_c = jnp.take_along_axis(lab_r, cols[:, None, :], axis=2)
+    return img_c, lab_c
 
 
 def eval_preprocess(image: jax.Array, cfg: DatasetConfig) -> jax.Array:

@@ -13,6 +13,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _select_class(logp: jax.Array, labels: jax.Array, n_classes: int) -> jax.Array:
+    """logp[..., labels] via a one-hot compare-multiply-reduce.
+
+    A per-pixel ``take_along_axis`` on the CLASS axis is a gather along the
+    lane (minor) dimension — measured catastrophic on TPU through this stack:
+    it alone cost ~0.9 ms/img at crop-224 (the full forward is 0.38), putting
+    the train step's forward at 15% MXU (tools/train_itemize_probe.py /
+    fwd_shape_probe.py, r5). The compare+multiply+lane-reduce form is one
+    fused vectorized pass and its VJP is a broadcast multiply (the gather's
+    VJP is a scatter — same trap on the backward side). Exact: it picks one
+    element and adds true zeros, so the result is bit-identical to the
+    gather (barring NaNs in never-selected classes).
+    """
+    cls = jax.lax.broadcasted_iota(labels.dtype, (n_classes,), 0)
+    onehot = (labels[..., None] == cls).astype(logp.dtype)
+    return jnp.sum(logp * onehot, axis=-1)
+
+
 def masked_crossentropy(
     logits: jax.Array,
     labels: jax.Array,
@@ -29,7 +47,7 @@ def masked_crossentropy(
     valid = (labels >= 0) & (labels < n_classes)
     safe_labels = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = -_select_class(logp, safe_labels, n_classes)
     nll = jnp.where(valid, nll, 0.0)
     count = jnp.maximum(jnp.sum(valid), 1)
     return jnp.sum(nll) / count
@@ -52,7 +70,7 @@ def crossentropy_probs(
     valid = (labels >= 0) & (labels < n_classes)
     safe_labels = jnp.where(valid, labels, 0)
     logp = jnp.log(jnp.clip(probs, eps, 1.0))
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = -_select_class(logp, safe_labels, n_classes)
     nll = jnp.where(valid, nll, 0.0)
     count = jnp.maximum(jnp.sum(valid), 1)
     return jnp.sum(nll) / count

@@ -183,3 +183,34 @@ def test_epoch_reshuffled_fresh_order_each_epoch():
     assert order(data_b()) == e1
     assert order(data_b()) == e2
 
+
+
+def test_random_crop_and_flip_matches_dynamic_slice_reference():
+    """The separable take_along_axis crop (r5 throughput form, -26% train-step
+    cost recovered) must select exactly the elements of the original vmapped
+    dynamic_slice + post-flip formulation for the same key."""
+    rng = np.random.default_rng(11)
+    imgs = jnp.asarray(rng.random((5, 24, 40, 3)).astype(np.float32))
+    labs = jnp.asarray(rng.integers(0, 9, size=(5, 24, 40)).astype(np.int32))
+    key = jax.random.PRNGKey(42)
+    ch, cw = 12, 20
+    ic, lc = random_crop_and_flip(key, imgs, labs, crop=(ch, cw))
+
+    # reference: the pre-r5 implementation, identical rng draw order
+    b, h, w, _ = imgs.shape
+    k_off, k_flip = jax.random.split(key)
+    oy = jax.random.randint(k_off, (b,), 0, h - ch + 1)
+    ox = jax.random.randint(jax.random.fold_in(k_off, 1), (b,), 0, w - cw + 1)
+    flip = jax.random.bernoulli(k_flip, 0.5, (b,))
+
+    def one(img, lab, oy, ox, fl):
+        img_c = jax.lax.dynamic_slice(img, (oy, ox, 0), (ch, cw, img.shape[-1]))
+        lab_c = jax.lax.dynamic_slice(lab, (oy, ox), (ch, cw))
+        img_c = jnp.where(fl, img_c[:, ::-1, :], img_c)
+        lab_c = jnp.where(fl, lab_c[:, ::-1], lab_c)
+        return img_c, lab_c
+
+    ic_ref, lc_ref = jax.vmap(one)(imgs, labs, oy, ox, flip)
+    assert bool(jnp.any(flip)), "seed should exercise the flip branch"
+    np.testing.assert_array_equal(np.asarray(ic), np.asarray(ic_ref))
+    np.testing.assert_array_equal(np.asarray(lc), np.asarray(lc_ref))

@@ -102,3 +102,21 @@ def test_metrics_from_confusion_absent_class():
     ious = np.asarray(m.per_class_iou)
     np.testing.assert_allclose(ious[1], 0.0)
     np.testing.assert_allclose(float(m.mean_iou), (5 / 6 + 4 / 5) / 2, rtol=1e-6)
+
+
+def test_masked_crossentropy_matches_gather_oracle():
+    """The one-hot class selection (TPU lane-gather workaround, ops/losses
+    _select_class) must be value-identical to the take_along_axis gather it
+    replaced — it adds exact zeros around the selected element."""
+    rng = np.random.default_rng(7)
+    n = 11
+    logits = rng.normal(size=(2, 9, 13, n)).astype(np.float32) * 5.0
+    labels = rng.integers(0, n + 2, size=(2, 9, 13)).astype(np.int32)  # with void
+    got = float(masked_crossentropy(jnp.asarray(logits), jnp.asarray(labels), n_classes=n))
+
+    x = logits - logits.max(-1, keepdims=True)
+    logp = x - np.log(np.exp(x).sum(-1, keepdims=True))
+    valid = (labels >= 0) & (labels < n)
+    nll = -np.take_along_axis(logp, np.where(valid, labels, 0)[..., None], axis=-1)[..., 0]
+    expected = nll[valid].sum() / valid.sum()
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
