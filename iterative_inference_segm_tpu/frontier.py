@@ -38,6 +38,27 @@ FRONTIER: tuple[tuple[str, float, float | None, str], ...] = (
 )
 
 
+# Seed replication of the frontier's accuracy ORDERING (VERDICT r4 #3).
+# The demo_gain column above is the canonical seed-0 protocol; the
+# shipped-config decisions it encodes (pool vs stride encoder, stem1 vs
+# stem2) were re-run at two fresh training seeds with
+# tools/seed_replication.py (durable rows: DEMO_HISTORY.jsonl). Gain
+# MAGNITUDE varies with the seed's FCN baseline (a higher-trained baseline
+# leaves less refinement headroom: seed1's FCN tests at 0.7743, seed2's at
+# 0.8328), so the replicated quantity is the ORDERING, which is monotone
+# and identical at every seed: flagship > stride-stem1 > quarter >
+# composed. Seeds 1-2 ran after the r5 lane-gather loss change
+# (equivalence-pinned, but bf16 training trajectories differ), seed 0 is
+# the canonical pre-r5 protocol — orderings agree across both.
+# (config, {seed: demo mIoU gain in points})
+SEED_REPLICATION: tuple[tuple[str, dict[int, float]], ...] = (
+    ("flagship", {0: 9.78, 1: 6.39, 2: 2.99}),
+    ("stride-stem1", {0: 8.82, 1: 5.91, 2: 2.43}),
+    ("quarter", {0: 7.62, 1: 4.88, 2: 1.56}),
+    ("composed", {0: 6.24, 1: 3.66, 2: 0.82}),
+)
+
+
 def frontier_string() -> str:
     """One-line summary for machine-read bench output, derived from FRONTIER."""
     parts = []
